@@ -1,0 +1,161 @@
+"""Model / training configuration.
+
+One dataclass config with per-variant presets replacing the reference's ~45
+argparse flags duplicated across ``scripts/train.py`` (reference
+``scripts/train.py:25-124``) and ``scripts/train_GCN.py:24-110``. Flag names
+are preserved by the CLI layer in ``scripts/``; the checkpoint snapshots the
+full config exactly like the reference stores ``args.__dict__``
+(reference ``scripts/train.py:247``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static architecture config for generator + discriminator.
+
+    Defaults mirror the retuned reference defaults (reference
+    ``scripts/train.py:31-124``), not the upstream-sgan docs.
+    """
+
+    obs_len: int = 8
+    pred_len: int = 12
+    embedding_dim: int = 16
+    num_layers: int = 1
+    dropout: float = 0.0
+    batch_norm: bool = False
+    mlp_dim: int = 64
+
+    # Generator
+    encoder_h_dim_g: int = 32
+    decoder_h_dim_g: int = 32
+    noise_dim: Tuple[int, ...] = (8,)
+    noise_type: str = "gaussian"          # gaussian | uniform
+    noise_mix_type: str = "global"        # global | ped
+
+    # Pooling between encoder and graph module
+    # 'pool_net' = PoolHiddenNet max-pool (reference models.py:458-549)
+    # 'gcn'      = GCNPooling reconstruction (reference train_GCN.py:617-631)
+    # 'none'     = no pooling
+    pooling_type: str = "pool_net"
+    pool_every_timestep: bool = False
+    bottleneck_dim: int = 8
+
+    # Graph module between pooling and noise
+    # 'gat'  = GATEncoder two-level group GAT (reference models.py:239-294, live path)
+    # 'gcn'  = GCNModule two-level group GCN (reference models.py:583-712, era-b path)
+    # 'none' = plain MLP decoder-context (upstream-sgan path)
+    graph_module: str = "gat"
+    # Whether an mlp_decoder_context MLP maps context -> decoder_h - noise_dim
+    # (only used when graph_module == 'none'; reference models.py:796-804)
+    mlp_decoder_context: bool = False
+
+    # GAT options (reference scripts/train.py:116-124)
+    n_heads: int = 1
+    hidden_units: int = 72               # GAT hidden per head (hardcoded 72 in reference)
+    dropout1: float = 0.0                # GAT dropout
+    alpha: float = 0.2                   # LeakyReLU slope in GAT
+
+    # Graph-module internal dims (hardcoded in reference models.py:242-244,592-605)
+    graph_out_dim: int = 16              # per-level output features
+    gcn_hidden_dim: int = 72
+    gcn_layers: int = 2
+
+    # Discriminator
+    d_type: str = "global"               # local | global
+    encoder_h_dim_d: int = 48
+
+    # Social-pooling grid options (parsed but unused by the live reference path)
+    neighborhood_size: float = 2.0
+    grid_size: int = 8
+
+    # Dense-batching (TPU) options — no reference equivalent
+    activation: str = "relu"
+
+    @property
+    def noise_first_dim(self) -> int:
+        if not self.noise_dim or self.noise_dim[0] == 0:
+            return 0
+        return self.noise_dim[0]
+
+    @property
+    def context_dim(self) -> int:
+        """encoder_h (+ bottleneck if pooling) — reference models.py:791-794."""
+        if self.pooling_type and self.pooling_type != "none":
+            return self.encoder_h_dim_g + self.bottleneck_dim
+        return self.encoder_h_dim_g
+
+    @property
+    def decoder_context_dim(self) -> int:
+        """What the graph module / context MLP must emit: decoder_h − noise."""
+        return self.decoder_h_dim_g - self.noise_first_dim
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization / loop configuration (reference scripts/train.py:40-113)."""
+
+    dataset_name: str = "zara2"
+    delim: str = "tab"
+    loader_num_workers: int = 4
+    skip: int = 1
+
+    batch_size: int = 64                  # scenes per batch
+    num_iterations: int = 10000
+    num_epochs: int = 200
+
+    g_learning_rate: float = 1e-4
+    g_steps: int = 1
+    clipping_threshold_g: float = 2.0
+    d_learning_rate: float = 1e-3
+    d_steps: int = 1
+    clipping_threshold_d: float = 0.0
+
+    l2_loss_weight: float = 1.0
+    best_k: int = 20
+
+    output_dir: str = "."
+    print_every: int = 100
+    checkpoint_every: int = 300
+    checkpoint_name: str = "checkpoint"
+    checkpoint_start_from: Optional[str] = None
+    restore_from_checkpoint: bool = True
+    num_samples_check: int = 5000
+
+    timing: bool = False
+    seed: int = 0
+
+    # TPU-specific
+    n_max: int = 0                        # 0 = derive from dataset (rounded up to 8)
+    num_devices: int = 0                  # 0 = all visible devices (data parallel)
+    use_pallas: bool = True               # fused Pallas LSTM kernels on TPU
+
+
+# Per-variant presets matching the reference model families (SURVEY.md §6).
+MODEL_PRESETS = {
+    # scripts/train.py defaults — the live GAT path ("sgan-gat" family)
+    "gat": ModelConfig(),
+    # scripts/train_GCN.py working intent — GCNPooling pool-net, no graph module,
+    # mlp_decoder_context (models/01 & sgan-models checkpoint family)
+    "gcn-pool": ModelConfig(
+        pooling_type="gcn", graph_module="none", mlp_decoder_context=True,
+        bottleneck_dim=16,
+    ),
+    # era-b "sgan-g-p": PoolHiddenNet + GCNModule graph module
+    "gcn": ModelConfig(graph_module="gcn"),
+    # upstream-style sgan-p: pool only, plain decoder-context MLP
+    "sgan-p": ModelConfig(graph_module="none", mlp_decoder_context=True),
+    # upstream-style sgan: no pooling
+    "sgan": ModelConfig(pooling_type="none", graph_module="none",
+                        mlp_decoder_context=True),
+}
+
+TRAIN_PRESETS = {
+    "gat": TrainConfig(),
+    # train_GCN.py default divergences (reference train_GCN.py:69,75,88,94)
+    "gcn-pool": TrainConfig(d_steps=2, best_k=1),
+}

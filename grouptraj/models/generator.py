@@ -1,0 +1,225 @@
+"""TrajectoryGenerator: LSTM encoder → social pooling → group graph module →
+noise → autoregressive LSTM decoder, all scene-padded dense.
+
+Re-design of reference ``sgan/models.py:715-927``. Differences by design:
+- batch layout is ``[S, N, T, ...]`` with validity masks, no seq_start_end;
+- the decoder loop is a ``lax.scan`` (12 steps compiled to one device loop);
+- noise comes from explicit PRNG keys;
+- ``pooling_type='gcn'`` and ``'none'`` are working configurations (they
+  crash in the reference, SURVEY.md §2.2 — consciously fixed);
+- the dead always-constructed ``gcn_module`` (reference ``models.py:806-812``)
+  is only created when it is actually used (``graph_module='gcn'``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from grouptraj.config import ModelConfig
+from grouptraj.models.modules import (
+    gat_encoder, gcn_module, gcn_pooling,
+    init_gat_encoder, init_gcn_module, init_gcn_pooling,
+)
+from grouptraj.ops.linear import init_linear, init_mlp, linear, mlp_forward
+from grouptraj.ops.lstm import init_lstm, lstm_cell, lstm_scan
+from grouptraj.ops.noise import get_noise
+from grouptraj.ops.pooling import init_pool_hidden_net, pool_hidden_net
+
+
+def _encode(enc_params: dict, traj_rel: jnp.ndarray, impl: str) -> jnp.ndarray:
+    """Shared encoder: Linear(2→emb) then LSTM over time; returns final h.
+
+    traj_rel: [S, N, T, 2] -> [S, N, H]. (reference Encoder, models.py:32-92)
+    """
+    S, N, T, _ = traj_rel.shape
+    emb = linear(enc_params["spatial_embedding"], traj_rel)  # [S, N, T, E]
+    xs = jnp.moveaxis(emb.reshape(S * N, T, -1), 1, 0)        # [T, S*N, E]
+    _, (h_t, _) = lstm_scan(enc_params["lstm"], xs, impl=impl)
+    return h_t.reshape(S, N, -1)
+
+
+def init_generator(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> dict:
+    keys = jax.random.split(key, 8)
+    params = {
+        "encoder": {
+            "spatial_embedding": init_linear(keys[0], 2, cfg.embedding_dim,
+                                             dtype),
+            "lstm": init_lstm(keys[1], cfg.embedding_dim, cfg.encoder_h_dim_g,
+                              dtype),
+        },
+        "decoder": {
+            "spatial_embedding": init_linear(keys[2], 2, cfg.embedding_dim,
+                                             dtype),
+            "lstm": init_lstm(keys[3], cfg.embedding_dim, cfg.decoder_h_dim_g,
+                              dtype),
+            "hidden2pos": init_linear(keys[4], cfg.decoder_h_dim_g, 2, dtype),
+        },
+    }
+    if cfg.pool_every_timestep:
+        kd1, kd2 = jax.random.split(keys[5])
+        if cfg.pooling_type == "pool_net":
+            params["decoder"]["pool_net"] = init_pool_hidden_net(
+                kd1, cfg.embedding_dim, cfg.decoder_h_dim_g,
+                cfg.bottleneck_dim, cfg.batch_norm, dtype)
+        elif cfg.pooling_type == "gcn":
+            params["decoder"]["pool_net"] = init_gcn_pooling(
+                kd1, cfg.embedding_dim, cfg.decoder_h_dim_g,
+                cfg.gcn_hidden_dim, cfg.bottleneck_dim, cfg.gcn_layers, dtype)
+        params["decoder"]["mlp"] = init_mlp(
+            kd2, [cfg.decoder_h_dim_g + cfg.bottleneck_dim, cfg.mlp_dim,
+                  cfg.decoder_h_dim_g], cfg.batch_norm, dtype)
+
+    if cfg.pooling_type == "pool_net":
+        params["pool_net"] = init_pool_hidden_net(
+            keys[6], cfg.embedding_dim, cfg.encoder_h_dim_g,
+            cfg.bottleneck_dim, cfg.batch_norm, dtype)
+    elif cfg.pooling_type == "gcn":
+        params["pool_net"] = init_gcn_pooling(
+            keys[6], cfg.embedding_dim, cfg.encoder_h_dim_g,
+            cfg.gcn_hidden_dim, cfg.bottleneck_dim, cfg.gcn_layers, dtype)
+
+    if cfg.graph_module == "gat":
+        params["gatencoder"] = init_gat_encoder(
+            keys[7], cfg.context_dim, cfg.hidden_units, cfg.graph_out_dim,
+            cfg.decoder_context_dim, cfg.n_heads, dtype)
+    elif cfg.graph_module == "gcn":
+        params["gcn_module"] = init_gcn_module(
+            keys[7], cfg.context_dim, cfg.gcn_hidden_dim, cfg.graph_out_dim,
+            cfg.gcn_layers, cfg.decoder_context_dim, dtype)
+    elif cfg.mlp_decoder_context:
+        params["mlp_decoder_context"] = init_mlp(
+            keys[7], [cfg.context_dim, cfg.mlp_dim, cfg.decoder_context_dim],
+            cfg.batch_norm, dtype)
+    return params
+
+
+def _mlp_decoder_needed(cfg: ModelConfig) -> bool:
+    """reference models.py:852-859."""
+    return bool(cfg.noise_first_dim) or (
+        cfg.pooling_type not in (None, "none")) or (
+        cfg.encoder_h_dim_g != cfg.decoder_h_dim_g)
+
+
+def _pool(params: dict, cfg: ModelConfig, h, end_pos, labels, valid,
+          h_dim_key: str, key, train):
+    if cfg.pooling_type == "pool_net":
+        return pool_hidden_net(params, h, end_pos, valid, cfg.activation,
+                               cfg.batch_norm, cfg.dropout, key, train)
+    if cfg.pooling_type == "gcn":
+        return gcn_pooling(params, h, end_pos, labels, valid)
+    raise ValueError(cfg.pooling_type)
+
+
+def generator_forward(
+    params: dict,
+    cfg: ModelConfig,
+    obs: jnp.ndarray,          # [S, N, To, 2] absolute
+    obs_rel: jnp.ndarray,      # [S, N, To, 2]
+    group_end: jnp.ndarray,    # [S, N] group label at t_obs
+    valid: jnp.ndarray,        # [S, N]
+    key: Optional[jax.Array] = None,
+    user_noise: Optional[jnp.ndarray] = None,
+    train: bool = True,
+    impl: str = "scan",
+) -> jnp.ndarray:
+    """One stochastic forward pass -> pred_traj_rel [S, N, Tp, 2].
+
+    Mirrors reference ``TrajectoryGenerator.forward`` (models.py:862-927):
+    encode rel obs → pool on end positions → graph module on (h ‖ pool) with
+    the group labels → concat per-scene noise → decode autoregressively.
+    """
+    S, N = valid.shape
+    end_pos = obs[:, :, -1, :]
+    last_pos_rel = obs_rel[:, :, -1, :]
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k_noise, k_pool, k_graph, k_dec = jax.random.split(key, 4)
+
+    final_h = _encode(params["encoder"], obs_rel, impl)       # [S, N, He]
+
+    if cfg.pooling_type not in (None, "none"):
+        pool_h = _pool(params["pool_net"], cfg, final_h, end_pos, group_end,
+                       valid, "encoder", k_pool, train)
+        ctx = jnp.concatenate([final_h, pool_h], axis=-1)      # [S, N, He+B]
+    else:
+        ctx = final_h
+
+    if _mlp_decoder_needed(cfg):
+        if cfg.graph_module == "gat":
+            noise_input = gat_encoder(params["gatencoder"], ctx, group_end,
+                                      valid, cfg.alpha, cfg.dropout1, k_graph,
+                                      train)
+        elif cfg.graph_module == "gcn":
+            noise_input = gcn_module(params["gcn_module"], ctx, group_end,
+                                     valid)
+        elif cfg.mlp_decoder_context:
+            noise_input = mlp_forward(
+                params["mlp_decoder_context"], ctx, cfg.activation,
+                cfg.batch_norm, cfg.dropout, k_graph, mask=valid, train=train)
+        else:
+            noise_input = ctx
+    else:
+        noise_input = ctx
+
+    # Noise (reference add_noise, models.py:814-850): 'global' draws one
+    # vector per scene, repeated across its peds; 'ped' draws one per ped.
+    nd = cfg.noise_first_dim
+    if nd:
+        if user_noise is not None:
+            z = user_noise
+        elif cfg.noise_mix_type == "global":
+            z = get_noise(k_noise, (S, nd), cfg.noise_type, noise_input.dtype)
+        else:
+            z = get_noise(k_noise, (S, N, nd), cfg.noise_type,
+                          noise_input.dtype)
+        if z.ndim == 2:
+            z = jnp.broadcast_to(z[:, None, :], (S, N, nd))
+        decoder_h = jnp.concatenate([noise_input, z], axis=-1)
+    else:
+        decoder_h = noise_input
+
+    return _decode(params["decoder"], cfg, decoder_h, end_pos, last_pos_rel,
+                   group_end, valid, k_dec, train, impl)
+
+
+def _decode(dec: dict, cfg: ModelConfig, h0: jnp.ndarray, last_pos,
+            last_pos_rel, group_end, valid, key, train, impl) -> jnp.ndarray:
+    """Autoregressive decoder as a scan (reference Decoder, models.py:95-178).
+
+    Carry: (h, c, last_pos, last_rel). Step: embed rel → LSTM cell →
+    hidden2pos → new rel; optional per-step re-pooling mixes the pool vector
+    back into h through an MLP (pool_every_timestep).
+    """
+    S, N, H = h0.shape
+    flat = lambda a: a.reshape(S * N, *a.shape[3:]) if a.ndim > 3 else (
+        a.reshape(S * N, *a.shape[2:]))
+    h = h0.reshape(S * N, H)
+    c = jnp.zeros_like(h)
+    keys = jax.random.split(key, cfg.pred_len)
+
+    def step(carry, k):
+        h, c, pos, rel = carry
+        inp = linear(dec["spatial_embedding"], rel)
+        h, c = lstm_cell(dec["lstm"], inp, h, c)
+        new_rel = linear(dec["hidden2pos"], h)
+        new_pos = pos + new_rel
+        if cfg.pool_every_timestep:
+            hs = h.reshape(S, N, H)
+            pool_h = _pool(dec["pool_net"], cfg, hs,
+                           new_pos.reshape(S, N, 2), group_end, valid,
+                           "decoder", k, train)
+            mixed = mlp_forward(
+                dec["mlp"], jnp.concatenate([hs, pool_h], axis=-1),
+                cfg.activation, cfg.batch_norm, cfg.dropout, k,
+                mask=valid, train=train)
+            h = mixed.reshape(S * N, H)
+        return (h, c, new_pos, new_rel), new_rel
+
+    init = (h, c, flat(last_pos), flat(last_pos_rel))
+    _, rels = jax.lax.scan(step, init, keys)                  # [Tp, S*N, 2]
+    pred_rel = jnp.moveaxis(rels, 0, 1).reshape(S, N, cfg.pred_len, 2)
+    return pred_rel * valid[..., None, None]

@@ -1,0 +1,106 @@
+"""Masked dense graph attention, batched over scenes.
+
+Reference (``sgan/models.py:184-237``) computes per-scene single-head GAT
+layers by materializing all-pairs concatenations ``[N, N, 2F]``. Since the
+attention logit is ``leakyrelu(a · [Wh_i ‖ Wh_j])``, it decomposes as
+``leakyrelu(a₁·Wh_i + a₂·Wh_j)`` — two matvecs and a broadcast add — so the
+O(N²F) intermediate never exists here. Masked entries get the reference's
+exact −9e15 fill before the row softmax.
+
+GAT module quirks preserved for checkpoint parity:
+- multi-head concat -> out layer -> ELU -> **log_softmax over the feature
+  dim** (``models.py:237``) — the module emits log-probabilities;
+- the out layer (concat=False) skips the per-layer ELU; the module-level ELU
+  applies instead.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _xavier_uniform(key: jax.Array, shape, gain: float, dtype=jnp.float32):
+    fan_in, fan_out = shape[0], shape[1]
+    bound = gain * math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def init_gat_layer(key: jax.Array, d_in: int, d_out: int,
+                   dtype=jnp.float32) -> dict:
+    """xavier_uniform with gain 1.414 like the reference (models.py:192-195)."""
+    kw, ka = jax.random.split(key)
+    return {
+        "W": _xavier_uniform(kw, (d_in, d_out), 1.414, dtype),
+        "a": _xavier_uniform(ka, (2 * d_out, 1), 1.414, dtype),
+    }
+
+
+def gat_layer(params: dict, x: jnp.ndarray, adj_mask: jnp.ndarray,
+              alpha: float = 0.2, concat: bool = True,
+              dropout: float = 0.0, key: Optional[jax.Array] = None,
+              train: bool = True) -> jnp.ndarray:
+    """One masked dense GAT layer.
+
+    - x: [S, N, F]
+    - adj_mask: [S, N, N] boolean; logits where False are −9e15 (reference
+      ``models.py:202-203``), softmax over j.
+    Rows whose mask is empty (padding) softmax to uniform garbage and must be
+    masked by the caller — identical to reference behavior for real rows.
+    """
+    Wh = x @ params["W"]                                   # [S, N, F']
+    F_out = Wh.shape[-1]
+    a1 = params["a"][:F_out, 0]
+    a2 = params["a"][F_out:, 0]
+    e = jax.nn.leaky_relu(
+        (Wh @ a1)[:, :, None] + (Wh @ a2)[:, None, :], negative_slope=alpha)
+    e = jnp.where(adj_mask, e, -9e15)
+    att = jax.nn.softmax(e, axis=-1)
+    if dropout > 0 and train:
+        if key is None:
+            raise ValueError("dropout requires a PRNG key")
+        keep = jax.random.bernoulli(key, 1.0 - dropout, att.shape)
+        att = jnp.where(keep, att / (1.0 - dropout), 0.0)
+    h = att @ Wh                                           # [S, N, F']
+    return jax.nn.elu(h) if concat else h
+
+
+def init_gat(key: jax.Array, nfeat: int, nhid: int, nclass: int,
+             nheads: int = 1, dtype=jnp.float32) -> dict:
+    keys = jax.random.split(key, nheads + 1)
+    return {
+        "attentions": [init_gat_layer(keys[i], nfeat, nhid, dtype)
+                       for i in range(nheads)],
+        "out_att": init_gat_layer(keys[-1], nhid * nheads, nclass, dtype),
+    }
+
+
+def gat(params: dict, x: jnp.ndarray, adj_mask: jnp.ndarray,
+        alpha: float = 0.2, dropout: float = 0.0,
+        key: Optional[jax.Array] = None, train: bool = True) -> jnp.ndarray:
+    """Full GAT module (reference ``models.py:222-237``): input dropout,
+    multi-head concat, attention dropout, out layer, ELU, feature log_softmax.
+    """
+    if dropout > 0 and train:
+        if key is None:
+            raise ValueError("dropout requires a PRNG key")
+        key, k_in, k_mid = jax.random.split(key, 3)
+        keep = jax.random.bernoulli(k_in, 1.0 - dropout, x.shape)
+        x = jnp.where(keep, x / (1.0 - dropout), 0.0)
+    else:
+        k_mid = None
+    head_keys = (jax.random.split(key, len(params["attentions"]))
+                 if (dropout > 0 and train) else
+                 [None] * len(params["attentions"]))
+    heads = [gat_layer(p, x, adj_mask, alpha, True, dropout, hk, train)
+             for p, hk in zip(params["attentions"], head_keys)]
+    x = jnp.concatenate(heads, axis=-1)
+    if dropout > 0 and train:
+        keep = jax.random.bernoulli(k_mid, 1.0 - dropout, x.shape)
+        x = jnp.where(keep, x / (1.0 - dropout), 0.0)
+    x = jax.nn.elu(gat_layer(params["out_att"], x, adj_mask, alpha, False,
+                             dropout, None, train))
+    return jax.nn.log_softmax(x, axis=-1)

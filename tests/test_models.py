@@ -1,0 +1,190 @@
+"""Model-level tests: shapes, masking invariance, determinism, variants."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grouptraj.config import MODEL_PRESETS, ModelConfig
+from grouptraj.models import (
+    discriminator_forward, gat_encoder, gcn_module, gcn_pooling,
+    init_discriminator, init_gat_encoder, init_gcn_module, init_gcn_pooling,
+    init_generator, generator_forward,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _fake_batch(S=3, N=6, To=8, Tp=12, seed=0):
+    r = np.random.default_rng(seed)
+    obs_rel = r.normal(scale=0.1, size=(S, N, To, 2)).astype(np.float32)
+    obs = np.cumsum(obs_rel, axis=2) + r.normal(size=(S, 1, 1, 2))
+    group = r.integers(0, 3, size=(S, N)).astype(np.float32)
+    valid = np.ones((S, N), np.float32)
+    valid[:, -2:] = 0.0
+    obs = obs * valid[..., None, None]
+    obs_rel = obs_rel * valid[..., None, None]
+    group = group * valid
+    return (jnp.asarray(obs), jnp.asarray(obs_rel), jnp.asarray(group),
+            jnp.asarray(valid))
+
+
+# ------------------------------------------------------------- graph modules
+
+def test_gat_encoder_shapes_and_masking():
+    p = init_gat_encoder(KEY, in_dim=10, final_dim=7)
+    x = jax.random.normal(KEY, (2, 5, 10))
+    labels = jnp.asarray([[1, 1, 0, 0, 2], [0, 0, 0, 0, 0]], jnp.float32)
+    valid = jnp.asarray([[1, 1, 1, 0, 1], [1, 1, 0, 0, 0]], jnp.float32)
+    out = gat_encoder(p, x, labels, valid)
+    assert out.shape == (2, 5, 7)
+    assert np.allclose(np.asarray(out[0, 3]), 0)     # invalid -> zero
+
+
+def test_gat_encoder_padding_invariance():
+    """Adding padded peds must not change real peds' outputs."""
+    p = init_gat_encoder(KEY, in_dim=6, final_dim=4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 6))
+    labels = jnp.asarray([[1.0, 1.0, 0.0]])
+    valid = jnp.ones((1, 3))
+    out_small = gat_encoder(p, x, labels, valid)
+
+    x_pad = jnp.concatenate([x, 99.0 * jnp.ones((1, 4, 6))], axis=1)
+    labels_pad = jnp.concatenate([labels, 7 * jnp.ones((1, 4))], axis=1)
+    valid_pad = jnp.concatenate([valid, jnp.zeros((1, 4))], axis=1)
+    out_pad = gat_encoder(p, x_pad, labels_pad, valid_pad)
+    assert np.allclose(np.asarray(out_small), np.asarray(out_pad[:, :3]),
+                       atol=1e-5)
+
+
+def test_gcn_module_padding_invariance():
+    p = init_gcn_module(KEY, input_dim=6, final_dim=4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 6))
+    labels = jnp.asarray([[2.0, 2.0, 0.0]])
+    valid = jnp.ones((1, 3))
+    out_small = gcn_module(p, x, labels, valid)
+    x_pad = jnp.concatenate([x, jnp.ones((1, 2, 6))], axis=1)
+    labels_pad = jnp.concatenate([labels, 2 * jnp.ones((1, 2))], axis=1)
+    valid_pad = jnp.concatenate([valid, jnp.zeros((1, 2))], axis=1)
+    out_pad = gcn_module(p, x_pad, labels_pad, valid_pad)
+    assert np.allclose(np.asarray(out_small), np.asarray(out_pad[:, :3]),
+                       atol=1e-5)
+
+
+def test_gcn_pooling_shapes_translation_invariance():
+    p = init_gcn_pooling(KEY, h_dim=8, bottleneck_dim=8)
+    h = jax.random.normal(KEY, (2, 4, 8))
+    pos = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 2))
+    labels = jnp.zeros((2, 4))
+    valid = jnp.ones((2, 4))
+    out = gcn_pooling(p, h, pos, labels, valid)
+    assert out.shape == (2, 4, 8)
+    out_shift = gcn_pooling(p, h, pos + 100.0, labels, valid)
+    assert np.allclose(np.asarray(out), np.asarray(out_shift), atol=1e-4)
+
+
+# ---------------------------------------------------------------- generator
+
+@pytest.mark.parametrize("preset", list(MODEL_PRESETS))
+def test_generator_variants_forward(preset):
+    cfg = MODEL_PRESETS[preset]
+    params = init_generator(KEY, cfg)
+    obs, obs_rel, group, valid = _fake_batch()
+    out = generator_forward(params, cfg, obs, obs_rel, group, valid,
+                            jax.random.PRNGKey(1))
+    assert out.shape == (3, 6, cfg.pred_len, 2)
+    assert np.isfinite(np.asarray(out)).all()
+    # padded peds emit zeros
+    assert np.allclose(np.asarray(out)[:, -2:], 0.0)
+
+
+def test_generator_noise_changes_output_deterministically():
+    cfg = MODEL_PRESETS["gat"]
+    params = init_generator(KEY, cfg)
+    obs, obs_rel, group, valid = _fake_batch()
+    a = generator_forward(params, cfg, obs, obs_rel, group, valid,
+                          jax.random.PRNGKey(1))
+    b = generator_forward(params, cfg, obs, obs_rel, group, valid,
+                          jax.random.PRNGKey(1))
+    c = generator_forward(params, cfg, obs, obs_rel, group, valid,
+                          jax.random.PRNGKey(2))
+    assert np.allclose(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_generator_global_noise_shared_within_scene():
+    """noise_mix_type='global': same noise for all peds of a scene; with
+    identical contexts, user noise distinguishes scenes, not peds."""
+    cfg = MODEL_PRESETS["gat"]
+    params = init_generator(KEY, cfg)
+    S, N = 2, 3
+    obs = jnp.zeros((S, N, 8, 2))
+    obs_rel = jnp.zeros((S, N, 8, 2))
+    group = jnp.zeros((S, N))
+    valid = jnp.ones((S, N))
+    z = jnp.asarray(np.random.default_rng(0).normal(
+        size=(S, cfg.noise_first_dim)).astype(np.float32))
+    out = generator_forward(params, cfg, obs, obs_rel, group, valid,
+                            jax.random.PRNGKey(0), user_noise=z)
+    out = np.asarray(out)
+    # identical peds within a scene -> identical outputs
+    assert np.allclose(out[:, 0], out[:, 1], atol=1e-6)
+    # different noise across scenes -> different outputs
+    assert not np.allclose(out[0, 0], out[1, 0])
+
+
+def test_generator_jit_and_vmap_best_of_k():
+    cfg = MODEL_PRESETS["gat"]
+    params = init_generator(KEY, cfg)
+    obs, obs_rel, group, valid = _fake_batch()
+
+    fwd = jax.jit(lambda p, k: generator_forward(p, cfg, obs, obs_rel, group,
+                                                 valid, k))
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    outs = jax.vmap(lambda k: fwd(params, k))(keys)
+    assert outs.shape == (4, 3, 6, cfg.pred_len, 2)
+    assert not np.allclose(np.asarray(outs[0]), np.asarray(outs[1]))
+
+
+def test_pool_every_timestep_variant():
+    cfg = dataclasses.replace(MODEL_PRESETS["gat"], pool_every_timestep=True)
+    params = init_generator(KEY, cfg)
+    assert "pool_net" in params["decoder"]
+    obs, obs_rel, group, valid = _fake_batch()
+    out = generator_forward(params, cfg, obs, obs_rel, group, valid,
+                            jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+# ------------------------------------------------------------ discriminator
+
+@pytest.mark.parametrize("d_type", ["local", "global"])
+def test_discriminator_forward(d_type):
+    cfg = dataclasses.replace(MODEL_PRESETS["gat"], d_type=d_type)
+    params = init_discriminator(KEY, cfg)
+    r = np.random.default_rng(0)
+    traj_rel = jnp.asarray(r.normal(size=(2, 4, 20, 2)).astype(np.float32))
+    traj = jnp.cumsum(traj_rel, axis=2)
+    valid = jnp.ones((2, 4))
+    scores = discriminator_forward(params, cfg, traj, traj_rel, valid)
+    assert scores.shape == (2, 4)
+    # make_mlp trailing ReLU quirk: scores are non-negative
+    assert float(jnp.min(scores)) >= 0.0
+
+
+def test_discriminator_global_padding_invariance():
+    cfg = MODEL_PRESETS["gat"]
+    params = init_discriminator(KEY, cfg)
+    r = np.random.default_rng(0)
+    traj_rel = jnp.asarray(r.normal(size=(1, 3, 20, 2)).astype(np.float32))
+    traj = jnp.cumsum(traj_rel, axis=2)
+    valid = jnp.ones((1, 3))
+    s_small = discriminator_forward(params, cfg, traj, traj_rel, valid)
+    pad = lambda a: jnp.concatenate([a, jnp.zeros((1, 2) + a.shape[2:])], 1)
+    s_pad = discriminator_forward(params, cfg, pad(traj), pad(traj_rel),
+                                  jnp.concatenate([valid, jnp.zeros((1, 2))],
+                                                  1))
+    assert np.allclose(np.asarray(s_small), np.asarray(s_pad[:, :3]),
+                       atol=1e-5)

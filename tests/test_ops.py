@@ -1,0 +1,263 @@
+"""Unit tests for the dense masked ops, with golden values from tiny
+hand-checkable inputs (the SURVEY.md §4 test plan)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grouptraj.ops import (
+    gat, gat_layer, gcn, get_noise, group_membership, init_gat, init_gat_layer,
+    init_gcn, init_linear, init_lstm, init_mlp, init_pool_hidden_net,
+    intra_group_adjacency, linear, lstm_cell, lstm_scan, mlp_forward,
+    normalize_adjacency, pool_hidden_net,
+)
+from grouptraj.ops.groups import inter_group_adjacency
+from grouptraj.utils import relative_to_abs
+
+KEY = jax.random.PRNGKey(0)
+
+
+# ------------------------------------------------------------------ linear/mlp
+
+def test_linear_shapes_and_bias():
+    p = init_linear(KEY, 3, 5)
+    x = jnp.ones((2, 3))
+    y = linear(p, x)
+    assert y.shape == (2, 5)
+    assert np.allclose(y, x @ p["w"] + p["b"])
+
+
+def test_mlp_trailing_activation():
+    """make_mlp puts an activation after EVERY linear — outputs are ReLU'd."""
+    p = init_mlp(KEY, [4, 8, 2])
+    x = jax.random.normal(KEY, (10, 4))
+    y = mlp_forward(p, x, "relu")
+    assert float(y.min()) >= 0.0
+
+
+def test_mlp_manual_two_layer():
+    p = {"layers": [
+        {"linear": {"w": jnp.eye(2), "b": jnp.array([-1.0, 0.0])}},
+        {"linear": {"w": 2 * jnp.eye(2), "b": jnp.zeros(2)}},
+    ]}
+    x = jnp.array([[2.0, -3.0]])
+    # layer1: relu([1, -3]) = [1, 0]; layer2: relu([2, 0]) = [2, 0]
+    y = mlp_forward(p, x, "relu")
+    assert np.allclose(y, [[2.0, 0.0]])
+
+
+# ----------------------------------------------------------------------- lstm
+
+def test_lstm_cell_golden_zero_weights():
+    H = 4
+    p = {k: jnp.zeros(s) for k, s in [
+        ("w_ih", (3, 4 * H)), ("w_hh", (H, 4 * H)),
+        ("b_ih", (4 * H,)), ("b_hh", (4 * H,))]}
+    h, c = lstm_cell(p, jnp.ones((2, 3)), jnp.zeros((2, H)), jnp.zeros((2, H)))
+    # gates all sigmoid(0)=.5 / tanh(0)=0 -> c=0, h=0
+    assert np.allclose(h, 0) and np.allclose(c, 0)
+
+
+def test_lstm_scan_matches_manual_loop():
+    p = init_lstm(KEY, 3, 4)
+    xs = jax.random.normal(KEY, (5, 2, 3))
+    ys, (hT, cT) = lstm_scan(p, xs)
+    h = jnp.zeros((2, 4))
+    c = jnp.zeros((2, 4))
+    for t in range(5):
+        h, c = lstm_cell(p, xs[t], h, c)
+    assert np.allclose(ys[-1], h, atol=1e-6)
+    assert np.allclose(hT, h, atol=1e-6) and np.allclose(cT, c, atol=1e-6)
+
+
+def test_lstm_matches_torch():
+    """Numeric parity with torch.nn.LSTM (the reference's encoder backbone)."""
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    m = torch.nn.LSTM(3, 4, 1)
+    xs_t = torch.randn(6, 2, 3)
+    with torch.no_grad():
+        out_t, (h_t, c_t) = m(xs_t)
+    p = {
+        "w_ih": jnp.asarray(m.weight_ih_l0.detach().numpy().T),
+        "w_hh": jnp.asarray(m.weight_hh_l0.detach().numpy().T),
+        "b_ih": jnp.asarray(m.bias_ih_l0.detach().numpy()),
+        "b_hh": jnp.asarray(m.bias_hh_l0.detach().numpy()),
+    }
+    ys, (hT, cT) = lstm_scan(p, jnp.asarray(xs_t.numpy()))
+    # float32 sigmoid/tanh implementations differ between XLA-CPU and torch
+    # by ~5e-5/step (exact to 4e-15 in float64), so allow 1e-3 after 6 steps.
+    assert np.allclose(ys, out_t.numpy(), atol=1e-3)
+    assert np.allclose(hT, h_t[0].numpy(), atol=1e-3)
+
+
+# ------------------------------------------------------------------ adjacency
+
+def test_intra_group_adjacency_untitled_fixture():
+    """The reference author's own scratchpad fixture (Untitled.ipynb):
+    labels [1,1,2,0] -> adjacency [[1100],[1100],[0010],[0001]]."""
+    labels = jnp.array([[1.0, 1.0, 2.0, 0.0]])
+    valid = jnp.ones((1, 4))
+    m = intra_group_adjacency(labels, valid)
+    expected = np.array([[1, 1, 0, 0], [1, 1, 0, 0],
+                         [0, 0, 1, 0], [0, 0, 0, 1]], bool)
+    assert np.array_equal(np.asarray(m[0]), expected)
+
+
+def test_intra_group_adjacency_masks_invalid():
+    labels = jnp.array([[1.0, 1.0, 1.0]])
+    valid = jnp.array([[1.0, 1.0, 0.0]])
+    m = np.asarray(intra_group_adjacency(labels, valid)[0])
+    assert not m[:, 2].any() and not m[2, :].any()
+
+
+def test_normalize_adjacency_rows():
+    adj = jnp.array([[[1.0, 1.0, 0.0], [0, 1, 0], [0, 0, 0]]])
+    a = np.asarray(normalize_adjacency(adj)[0])
+    assert np.allclose(a[0], [0.5, 0.5, 0])
+    assert np.allclose(a[1], [0, 1, 0])
+    assert np.allclose(a[2], 0)           # empty row stays zero (no inf)
+
+
+def test_group_membership_and_double_normalization():
+    labels = jnp.array([[3.0, 3.0, 5.0, 0.0]])
+    valid = jnp.ones((1, 4))
+    r_raw, gv = group_membership(labels, valid)
+    r_raw = np.asarray(r_raw[0])
+    gv = np.asarray(gv[0])
+    # groups: {0,1} at slot 0, {2} at slot 2, {3} at slot 3; slot 1 empty
+    assert gv.tolist() == [True, False, True, True]
+    assert r_raw[0].tolist() == [True, True, False, False]
+    assert r_raw[2].tolist() == [False, False, True, False]
+    # pool+unpool with normalized R reproduces the reference double-1/|g|:
+    r = normalize_adjacency(jnp.asarray(r_raw[None]))
+    x = jnp.array([[[2.0], [4.0], [6.0], [8.0]]])
+    pooled = r @ x                        # group mean
+    unpooled = jnp.einsum("smn,smf->snf", r, pooled)
+    # members of the pair get mean(2,4)/2 = 1.5
+    assert np.allclose(np.asarray(unpooled[0, :2, 0]), 1.5)
+    assert np.allclose(np.asarray(unpooled[0, 2, 0]), 6.0)
+
+
+def test_inter_group_adjacency():
+    gv = jnp.array([[True, False, True]])
+    m = np.asarray(inter_group_adjacency(gv)[0])
+    assert m[0, 2] and m[2, 0] and m[0, 0]
+    assert not m[1].any() and not m[:, 1].any()
+
+
+# ------------------------------------------------------------------------ gat
+
+def test_gat_layer_uniform_attention_when_symmetric():
+    """With a=0 all logits are equal -> attention = uniform over neighbors."""
+    p = {"W": jnp.eye(2), "a": jnp.zeros((4, 1))}
+    x = jnp.array([[[1.0, 0.0], [0.0, 1.0], [10.0, 10.0]]])
+    adj = jnp.array([[[1, 1, 0], [1, 1, 0], [0, 0, 1]]], bool)
+    out = gat_layer(p, x, adj, concat=False)
+    # rows 0,1 average each other; row 2 attends to itself
+    assert np.allclose(out[0, 0], [0.5, 0.5], atol=1e-6)
+    assert np.allclose(out[0, 2], [10.0, 10.0], atol=1e-6)
+
+
+def test_gat_layer_masking_excludes_nonneighbors():
+    p = init_gat_layer(KEY, 3, 4)
+    x = jax.random.normal(KEY, (1, 3, 3))
+    adj_self = jnp.eye(3, dtype=bool)[None]
+    out = gat_layer(p, x, adj_self, concat=False)
+    # attending only to self = Wh itself
+    assert np.allclose(out, x @ p["W"], atol=1e-5)
+
+
+def test_gat_module_log_softmax_output():
+    """GAT module output rows are log-probabilities over features
+    (reference quirk models.py:237)."""
+    p = init_gat(KEY, 5, 7, 4, nheads=2)
+    x = jax.random.normal(KEY, (2, 3, 5))
+    adj = jnp.ones((2, 3, 3), bool)
+    out = gat(p, x, adj)
+    assert out.shape == (2, 3, 4)
+    assert np.allclose(np.exp(np.asarray(out)).sum(-1), 1.0, atol=1e-5)
+
+
+def test_gat_vs_reference_formula_single_scene():
+    """Cross-check the decomposed logits against the explicit [N,N,2F]
+    construction of the reference (models.py:212-220)."""
+    p = init_gat_layer(KEY, 3, 4)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 5, 3))
+    adj = jnp.asarray(np.random.default_rng(0).random((1, 5, 5)) > 0.4)
+    adj = adj | jnp.eye(5, dtype=bool)[None]
+    out = gat_layer(p, x, adj, alpha=0.2, concat=True)
+
+    wh = np.asarray(x[0] @ p["W"])
+    a = np.asarray(p["a"][:, 0])
+    e = np.zeros((5, 5))
+    for i in range(5):
+        for j in range(5):
+            z = np.concatenate([wh[i], wh[j]]) @ a
+            e[i, j] = z if z > 0 else 0.2 * z
+    e = np.where(np.asarray(adj[0]), e, -9e15)
+    att = np.exp(e - e.max(1, keepdims=True))
+    att /= att.sum(1, keepdims=True)
+    ref = att @ wh
+    ref = np.where(ref > 0, ref, np.expm1(ref))   # elu
+    assert np.allclose(np.asarray(out[0]), ref, atol=1e-5)
+
+
+# ------------------------------------------------------------------------ gcn
+
+def test_gcn_golden():
+    p = {"W": [jnp.eye(2)]}
+    adj = normalize_adjacency(jnp.ones((1, 2, 2)))
+    x = jnp.array([[[2.0, -2.0], [4.0, -4.0]]])
+    out = gcn(p, adj, x)
+    # A@X = mean -> [[3,-3],[3,-3]]; relu -> [[3,0],[3,0]]
+    assert np.allclose(out, [[[3.0, 0.0], [3.0, 0.0]]])
+
+
+# ------------------------------------------------------------------- pooling
+
+def test_pool_hidden_net_matches_bruteforce():
+    S, N, E, H, B = 2, 4, 3, 5, 6
+    p = init_pool_hidden_net(KEY, E, H, B)
+    h = jax.random.normal(jax.random.PRNGKey(1), (S, N, H))
+    pos = jax.random.normal(jax.random.PRNGKey(2), (S, N, 2))
+    valid = jnp.asarray(np.array([[1, 1, 1, 0], [1, 1, 0, 0]], np.float32))
+    out = pool_hidden_net(p, h, pos, valid)
+    # brute-force per scene over valid peds (reference loop semantics)
+    for s in range(S):
+        n_valid = int(valid[s].sum())
+        for i in range(n_valid):
+            feats = []
+            for j in range(n_valid):
+                rel = pos[s, j] - pos[s, i]
+                emb = linear(p["spatial_embedding"], rel)
+                f = mlp_forward(p["mlp_pre_pool"],
+                                jnp.concatenate([emb, h[s, j]]))
+                feats.append(np.asarray(f))
+            expected = np.max(np.stack(feats), axis=0)
+            assert np.allclose(np.asarray(out[s, i]), expected, atol=1e-5)
+    # invalid rows are zero
+    assert np.allclose(np.asarray(out[0, 3]), 0.0)
+    assert np.allclose(np.asarray(out[1, 2:]), 0.0)
+
+
+# ------------------------------------------------------------------- utils
+
+def test_relative_to_abs():
+    rel = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3, 4, 2))
+                      .astype(np.float32))
+    start = jnp.asarray(np.random.default_rng(1).normal(size=(2, 3, 2))
+                        .astype(np.float32))
+    out = relative_to_abs(rel, start)
+    manual = np.cumsum(np.asarray(rel), axis=2) + np.asarray(start)[:, :, None]
+    assert np.allclose(out, manual, atol=1e-6)
+
+
+def test_get_noise_types():
+    g = get_noise(KEY, (1000,), "gaussian")
+    u = get_noise(KEY, (1000,), "uniform")
+    assert abs(float(g.mean())) < 0.2
+    assert float(u.min()) >= -1.0 and float(u.max()) <= 1.0
+    with pytest.raises(ValueError):
+        get_noise(KEY, (1,), "bogus")
