@@ -1,0 +1,280 @@
+"""PyTorch checkpoint importer — load reference ``.pt`` files into grouptraj.
+
+The reference ships 41 checkpoints in three parameter eras (SURVEY.md §6):
+(a) upstream-style ``mlp_decoder_context`` only; (b) GCNPooling / GCNModule
+eras; (c) current code (``gatencoder.gat_{intra,inter}`` + dead
+``gcn_module``). This importer targets eras (a)-(c); the lost GCNPooling era
+loads into the reconstructed :func:`grouptraj.models.modules.gcn_pooling`.
+
+Torch Linear weights are ``[out, in]`` and transpose into our ``[in, out]``;
+LSTM weights likewise; GAT ``W``/``a`` and GCN ``W`` lists are stored
+un-transposed by the reference and map 1:1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from grouptraj.config import ModelConfig
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a reference checkpoint to CPU numpy. Requires torch (CPU is fine)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    for k in ("g_state", "d_state", "g_best_state", "g_best_nl_state",
+              "d_best_state", "d_best_nl_state"):
+        state = ckpt.get(k)
+        if state is not None:
+            ckpt[k] = {name: np.asarray(t.detach().cpu().numpy())
+                       for name, t in state.items()}
+    return ckpt
+
+
+def _lin(sd: Dict[str, np.ndarray], prefix: str) -> dict:
+    return {"w": jnp.asarray(sd[prefix + ".weight"].T),
+            "b": jnp.asarray(sd[prefix + ".bias"])}
+
+
+def _lstm(sd: Dict[str, np.ndarray], prefix: str) -> dict:
+    return {"w_ih": jnp.asarray(sd[prefix + ".weight_ih_l0"].T),
+            "w_hh": jnp.asarray(sd[prefix + ".weight_hh_l0"].T),
+            "b_ih": jnp.asarray(sd[prefix + ".bias_ih_l0"]),
+            "b_hh": jnp.asarray(sd[prefix + ".bias_hh_l0"])}
+
+
+def _mlp(sd: Dict[str, np.ndarray], prefix: str) -> dict:
+    """Map an nn.Sequential produced by make_mlp: Linear layers at whatever
+    indices they landed on (BatchNorm entries, if any, attach to the
+    preceding Linear)."""
+    idxs = sorted({int(k[len(prefix) + 1:].split(".")[0])
+                   for k in sd if k.startswith(prefix + ".")})
+    layers = []
+    for i in idxs:
+        sub = f"{prefix}.{i}"
+        if f"{sub}.running_mean" in sd:
+            layers[-1]["bn_scale"] = jnp.asarray(sd[f"{sub}.weight"])
+            layers[-1]["bn_bias"] = jnp.asarray(sd[f"{sub}.bias"])
+        elif f"{sub}.weight" in sd:
+            layers.append({"linear": _lin(sd, sub)})
+    return {"layers": layers}
+
+
+def _gat(sd: Dict[str, np.ndarray], prefix: str) -> dict:
+    heads = sorted({int(k[len(prefix) + 11:].split(".")[0])
+                    for k in sd if k.startswith(prefix + ".attention_")})
+    return {
+        "attentions": [
+            {"W": jnp.asarray(sd[f"{prefix}.attention_{i}.W"]),
+             "a": jnp.asarray(sd[f"{prefix}.attention_{i}.a"])}
+            for i in heads],
+        "out_att": {"W": jnp.asarray(sd[f"{prefix}.out_att.W"]),
+                    "a": jnp.asarray(sd[f"{prefix}.out_att.a"])},
+    }
+
+
+def _gcn(sd: Dict[str, np.ndarray], prefix: str) -> dict:
+    ws = []
+    i = 0
+    while f"{prefix}.W.{i}" in sd:
+        ws.append(jnp.asarray(sd[f"{prefix}.W.{i}"]))
+        i += 1
+    return {"W": ws}
+
+
+def _pool_net(sd: Dict[str, np.ndarray], prefix: str) -> Tuple[dict, str]:
+    """Detect and import a pool-net: PoolHiddenNet or GCNPooling era."""
+    if f"{prefix}.gcn_pooling_net_intra.W.0" in sd:
+        return {
+            "spatial_embedding": _lin(sd, f"{prefix}.spatial_embedding"),
+            "gcn_pooling_net_intra": _gcn(sd, f"{prefix}.gcn_pooling_net_intra"),
+            "gcn_pooling_net_inter": _gcn(sd, f"{prefix}.gcn_pooling_net_inter"),
+            "out_embedding": _lin(sd, f"{prefix}.out_embedding"),
+        }, "gcn"
+    return {
+        "spatial_embedding": _lin(sd, f"{prefix}.spatial_embedding"),
+        "mlp_pre_pool": _mlp(sd, f"{prefix}.mlp_pre_pool"),
+    }, "pool_net"
+
+
+def import_generator(g_state: Dict[str, np.ndarray]) -> dict:
+    """Build a grouptraj generator param tree from a reference g_state dict.
+
+    Dead weights (the always-constructed-but-never-called ``gcn_module`` of
+    era (c), reference models.py:806-812,902-905) are dropped when a
+    gatencoder is present.
+    """
+    sd = g_state
+    params = {
+        "encoder": {
+            "spatial_embedding": _lin(sd, "encoder.spatial_embedding"),
+            "lstm": _lstm(sd, "encoder.encoder"),
+        },
+        "decoder": {
+            "spatial_embedding": _lin(sd, "decoder.spatial_embedding"),
+            "lstm": _lstm(sd, "decoder.decoder"),
+            "hidden2pos": _lin(sd, "decoder.hidden2pos"),
+        },
+    }
+    if "decoder.pool_net.spatial_embedding.weight" in sd:
+        params["decoder"]["pool_net"], _ = _pool_net(sd, "decoder.pool_net")
+        params["decoder"]["mlp"] = _mlp(sd, "decoder.mlp")
+    if "pool_net.spatial_embedding.weight" in sd:
+        params["pool_net"], _ = _pool_net(sd, "pool_net")
+    has_gat = "gatencoder.gat_intra.attention_0.W" in sd
+    if has_gat:
+        params["gatencoder"] = {
+            "gat_intra": _gat(sd, "gatencoder.gat_intra"),
+            "gat_inter": _gat(sd, "gatencoder.gat_inter"),
+            "out_embedding": _lin(sd, "gatencoder.out_embedding"),
+        }
+    elif "gcn_module.gcn_intra.W.0" in sd:
+        params["gcn_module"] = {
+            "gcn_intra": _gcn(sd, "gcn_module.gcn_intra"),
+            "gcn_inter": _gcn(sd, "gcn_module.gcn_inter"),
+            "out_embedding": _lin(sd, "gcn_module.out_embedding"),
+        }
+    if "mlp_decoder_context.0.weight" in sd:
+        params["mlp_decoder_context"] = _mlp(sd, "mlp_decoder_context")
+    return params
+
+
+def import_discriminator(d_state: Dict[str, np.ndarray]) -> dict:
+    sd = d_state
+    params = {
+        "encoder": {
+            "spatial_embedding": _lin(sd, "encoder.spatial_embedding"),
+            "lstm": _lstm(sd, "encoder.encoder"),
+        },
+        "real_classifier": _mlp(sd, "real_classifier"),
+    }
+    if "pool_net.spatial_embedding.weight" in sd:
+        params["pool_net"], _ = _pool_net(sd, "pool_net")
+    return params
+
+
+def config_from_checkpoint_args(args: dict, g_state=None) -> ModelConfig:
+    """Resurrect a ModelConfig from a checkpoint's stored flag dict
+    (the reference's AttrDict(checkpoint['args']) pattern,
+    evaluate_model.py:20-27), with graph-module era detection from the
+    parameter names when a g_state is given."""
+    noise_dim = args.get("noise_dim") or (0,)
+    if isinstance(noise_dim, list):
+        noise_dim = tuple(noise_dim)
+    graph_module = "gat"
+    mlp_ctx = False
+    if g_state is not None:
+        if "gatencoder.gat_intra.attention_0.W" in g_state:
+            graph_module = "gat"
+        elif "gcn_module.gcn_intra.W.0" in g_state:
+            # era (b): gcn_module was the live call; a dead
+            # mlp_decoder_context may coexist (reference models.py:898-902)
+            graph_module = "gcn"
+        else:
+            graph_module = "none"
+            mlp_ctx = "mlp_decoder_context.0.weight" in g_state
+    pooling = args.get("pooling_type") or "none"
+    cfg = ModelConfig(
+        obs_len=args.get("obs_len", 8),
+        pred_len=args.get("pred_len", 12),
+        embedding_dim=args.get("embedding_dim", 16),
+        num_layers=args.get("num_layers", 1),
+        dropout=float(args.get("dropout", 0.0)),
+        batch_norm=bool(args.get("batch_norm", False)),
+        mlp_dim=args.get("mlp_dim", 64),
+        encoder_h_dim_g=args.get("encoder_h_dim_g", 32),
+        decoder_h_dim_g=args.get("decoder_h_dim_g", 32),
+        noise_dim=noise_dim,
+        noise_type=args.get("noise_type", "gaussian"),
+        noise_mix_type=args.get("noise_mix_type", "global"),
+        pooling_type=pooling,
+        pool_every_timestep=bool(args.get("pool_every_timestep", False)),
+        bottleneck_dim=args.get("bottleneck_dim", 8),
+        graph_module=graph_module,
+        mlp_decoder_context=mlp_ctx,
+        n_heads=args.get("n_heads", 1),
+        dropout1=float(args.get("dropout1", 0.0)),
+        alpha=float(args.get("alpha", 0.2)),
+        d_type=args.get("d_type", "global"),
+        encoder_h_dim_d=args.get("encoder_h_dim_d", 48),
+        neighborhood_size=float(args.get("neighborhood_size", 2.0)),
+        grid_size=args.get("grid_size", 8),
+    )
+    return cfg
+
+
+def export_state_dicts(params: dict, kind: str) -> Dict[str, np.ndarray]:
+    """Inverse mapping: grouptraj params -> reference-style state_dict names
+    (for round-tripping / external tooling)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def lin(prefix, p):
+        out[prefix + ".weight"] = np.asarray(p["w"]).T
+        out[prefix + ".bias"] = np.asarray(p["b"])
+
+    def lstm(prefix, p):
+        out[prefix + ".weight_ih_l0"] = np.asarray(p["w_ih"]).T
+        out[prefix + ".weight_hh_l0"] = np.asarray(p["w_hh"]).T
+        out[prefix + ".bias_ih_l0"] = np.asarray(p["b_ih"])
+        out[prefix + ".bias_hh_l0"] = np.asarray(p["b_hh"])
+
+    def mlp(prefix, p):
+        idx = 0
+        for layer in p["layers"]:
+            lin(f"{prefix}.{idx}", layer["linear"])
+            idx += 2  # Linear + activation (batch_norm=0 layouts)
+
+    def gat(prefix, p):
+        for i, att in enumerate(p["attentions"]):
+            out[f"{prefix}.attention_{i}.W"] = np.asarray(att["W"])
+            out[f"{prefix}.attention_{i}.a"] = np.asarray(att["a"])
+        out[f"{prefix}.out_att.W"] = np.asarray(p["out_att"]["W"])
+        out[f"{prefix}.out_att.a"] = np.asarray(p["out_att"]["a"])
+
+    def gcn(prefix, p):
+        for i, w in enumerate(p["W"]):
+            out[f"{prefix}.W.{i}"] = np.asarray(w)
+
+    lin("encoder.spatial_embedding", params["encoder"]["spatial_embedding"])
+    lstm("encoder.encoder", params["encoder"]["lstm"])
+    if kind == "generator":
+        lin("decoder.spatial_embedding",
+            params["decoder"]["spatial_embedding"])
+        lstm("decoder.decoder", params["decoder"]["lstm"])
+        lin("decoder.hidden2pos", params["decoder"]["hidden2pos"])
+        if "pool_net" in params:
+            pn = params["pool_net"]
+            if "mlp_pre_pool" in pn:
+                lin("pool_net.spatial_embedding", pn["spatial_embedding"])
+                mlp("pool_net.mlp_pre_pool", pn["mlp_pre_pool"])
+            else:
+                lin("pool_net.spatial_embedding", pn["spatial_embedding"])
+                gcn("pool_net.gcn_pooling_net_intra",
+                    pn["gcn_pooling_net_intra"])
+                gcn("pool_net.gcn_pooling_net_inter",
+                    pn["gcn_pooling_net_inter"])
+                lin("pool_net.out_embedding", pn["out_embedding"])
+        if "gatencoder" in params:
+            gat("gatencoder.gat_intra", params["gatencoder"]["gat_intra"])
+            gat("gatencoder.gat_inter", params["gatencoder"]["gat_inter"])
+            lin("gatencoder.out_embedding",
+                params["gatencoder"]["out_embedding"])
+        if "gcn_module" in params:
+            gcn("gcn_module.gcn_intra", params["gcn_module"]["gcn_intra"])
+            gcn("gcn_module.gcn_inter", params["gcn_module"]["gcn_inter"])
+            lin("gcn_module.out_embedding",
+                params["gcn_module"]["out_embedding"])
+        if "mlp_decoder_context" in params:
+            mlp("mlp_decoder_context", params["mlp_decoder_context"])
+    else:
+        mlp("real_classifier", params["real_classifier"])
+        if "pool_net" in params:
+            lin("pool_net.spatial_embedding",
+                params["pool_net"]["spatial_embedding"])
+            mlp("pool_net.mlp_pre_pool", params["pool_net"]["mlp_pre_pool"])
+    return out

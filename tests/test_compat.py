@@ -1,0 +1,242 @@
+"""Checkpoint-import parity tests.
+
+Loads the reference pretrained PyTorch checkpoints (era (c): sgan-gat-models,
+the family matching the reference's current code) and asserts our dense JAX
+forward matches the reference model's ragged forward on real data, with the
+reference code itself executed on CPU as the oracle (``.cuda()`` calls
+monkeypatched to no-ops). Skipped when the reference mount or torch is absent.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+CKPT = os.path.join(REF, "models/sgan-gat-models/zara1_12_model.pt")
+
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(CKPT), reason="reference checkpoints not mounted")
+
+from grouptraj.compat import (  # noqa: E402
+    config_from_checkpoint_args, import_discriminator, import_generator,
+    load_torch_checkpoint,
+)
+from grouptraj.compat.torch_import import export_state_dicts  # noqa: E402
+from grouptraj.data import TrajectoryDataset  # noqa: E402
+from grouptraj.models import (  # noqa: E402
+    discriminator_forward, generator_forward,
+)
+from grouptraj.utils import get_dset_path  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ckpt():
+    return load_torch_checkpoint(CKPT)
+
+
+@pytest.fixture(scope="module")
+def ref_models(ckpt):
+    """Instantiate the reference models on CPU with the checkpoint weights."""
+    sys.path.insert(0, REF)
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    from sgan.models import TrajectoryDiscriminator, TrajectoryGenerator
+
+    args = ckpt["args"]
+    gen = TrajectoryGenerator(
+        obs_len=args["obs_len"], pred_len=args["pred_len"],
+        embedding_dim=args["embedding_dim"],
+        encoder_h_dim=args["encoder_h_dim_g"],
+        decoder_h_dim=args["decoder_h_dim_g"], mlp_dim=args["mlp_dim"],
+        num_layers=args["num_layers"], noise_dim=tuple(args["noise_dim"]),
+        noise_type=args["noise_type"], noise_mix_type=args["noise_mix_type"],
+        pooling_type=args["pooling_type"],
+        pool_every_timestep=args["pool_every_timestep"],
+        dropout=args["dropout"], bottleneck_dim=args["bottleneck_dim"],
+        batch_norm=args["batch_norm"], n_heads=args["n_heads"],
+        dropout1=args["dropout1"], alpha=args["alpha"])
+    gen.load_state_dict(
+        {k: torch.tensor(v) for k, v in ckpt["g_state"].items()})
+    gen.eval()
+    disc = TrajectoryDiscriminator(
+        obs_len=args["obs_len"], pred_len=args["pred_len"],
+        embedding_dim=args["embedding_dim"], h_dim=args["encoder_h_dim_d"],
+        mlp_dim=args["mlp_dim"], num_layers=args["num_layers"],
+        dropout=args["dropout"], batch_norm=args["batch_norm"],
+        d_type=args["d_type"])
+    disc.load_state_dict(
+        {k: torch.tensor(v) for k, v in ckpt["d_state"].items()})
+    disc.eval()
+    return gen, disc
+
+
+@pytest.fixture(scope="module")
+def scene():
+    """First real zara1 test-split window (multi-ped, has group labels)."""
+    dset = TrajectoryDataset(get_dset_path("zara1", "test"))
+    w = max(dset.windows[:50], key=lambda w: (w.group > 0).sum())
+    return w
+
+
+def test_config_resurrection(ckpt):
+    cfg = config_from_checkpoint_args(ckpt["args"], ckpt["g_state"])
+    assert cfg.graph_module == "gat"
+    assert cfg.pooling_type == "pool_net"
+    assert cfg.noise_dim == (8,)
+    assert cfg.encoder_h_dim_g == 32 and cfg.encoder_h_dim_d == 48
+
+
+def test_import_shapes(ckpt):
+    params = import_generator(ckpt["g_state"])
+    assert params["encoder"]["spatial_embedding"]["w"].shape == (2, 16)
+    assert params["encoder"]["lstm"]["w_ih"].shape == (16, 128)
+    assert params["gatencoder"]["gat_intra"]["attentions"][0]["W"].shape == \
+        (40, 72)
+    assert params["gatencoder"]["out_embedding"]["w"].shape == (32, 24)
+    assert "gcn_module" not in params      # dead weights dropped
+    d = import_discriminator(ckpt["d_state"])
+    assert d["encoder"]["lstm"]["w_hh"].shape == (48, 192)
+    assert d["pool_net"]["mlp_pre_pool"]["layers"][0]["linear"]["w"].shape \
+        == (64, 512)
+
+
+def _dense_inputs(w, pad_to=None):
+    n = w.num_peds
+    N = pad_to or n
+    obs = np.zeros((1, N, 8, 2), np.float32)
+    obs_rel = np.zeros((1, N, 8, 2), np.float32)
+    group = np.zeros((1, N), np.float32)
+    valid = np.zeros((1, N), np.float32)
+    obs[0, :n] = w.xy[:, :8]
+    obs_rel[0, :n] = w.rel[:, :8]
+    group[0, :n] = w.group[:, 7]
+    valid[0, :n] = 1.0
+    return map(jnp.asarray, (obs, obs_rel, group, valid))
+
+
+def _ragged_inputs(w):
+    obs = torch.tensor(w.xy[:, :8]).permute(1, 0, 2)          # [To, n, 2]
+    obs_rel = torch.tensor(w.rel[:, :8]).permute(1, 0, 2)
+    obs_g = torch.tensor(w.group[:, :8]).T.unsqueeze(-1)       # [To, n, 1]
+    sse = torch.tensor([[0, w.num_peds]])
+    return obs, obs_rel, obs_g, sse
+
+
+def test_generator_forward_parity(ckpt, ref_models, scene):
+    """Dense JAX forward == reference ragged forward, same weights, zero noise,
+    including with padding slots present."""
+    gen, _ = ref_models
+    obs_t, obs_rel_t, obs_g_t, sse = _ragged_inputs(scene)
+    user_noise_t = torch.zeros(1, 8)
+    with torch.no_grad():
+        ref_out = gen(obs_t, obs_rel_t, sse, obs_g_t, user_noise=user_noise_t)
+    ref_out = ref_out.numpy()                                  # [Tp, n, 2]
+
+    cfg = config_from_checkpoint_args(ckpt["args"], ckpt["g_state"])
+    params = import_generator(ckpt["g_state"])
+    for pad in (None, scene.num_peds + 5):
+        obs, obs_rel, group, valid = _dense_inputs(scene, pad)
+        out = generator_forward(
+            params, cfg, obs, obs_rel, group, valid,
+            key=jax.random.PRNGKey(0),
+            user_noise=jnp.zeros((1, 8)), train=False)
+        ours = np.asarray(out[0, :scene.num_peds])             # [n, Tp, 2]
+        assert np.allclose(ours.transpose(1, 0, 2), ref_out, atol=2e-3), \
+            f"max diff {np.abs(ours.transpose(1,0,2) - ref_out).max()}"
+
+
+def test_generator_parity_multi_scene(ckpt, ref_models):
+    """Two scenes batched densely == reference with seq_start_end offsets."""
+    gen, _ = ref_models
+    dset = TrajectoryDataset(get_dset_path("zara1", "test"))
+    w1, w2 = dset.windows[3], dset.windows[40]
+    n1, n2 = w1.num_peds, w2.num_peds
+    obs = torch.tensor(np.concatenate([w1.xy[:, :8], w2.xy[:, :8]])
+                       ).permute(1, 0, 2)
+    obs_rel = torch.tensor(np.concatenate([w1.rel[:, :8], w2.rel[:, :8]])
+                           ).permute(1, 0, 2)
+    obs_g = torch.tensor(np.concatenate([w1.group[:, :8], w2.group[:, :8]])
+                         ).T.unsqueeze(-1)
+    sse = torch.tensor([[0, n1], [n1, n1 + n2]])
+    with torch.no_grad():
+        ref_out = gen(obs, obs_rel, sse, obs_g,
+                      user_noise=torch.zeros(2, 8)).numpy()
+
+    cfg = config_from_checkpoint_args(ckpt["args"], ckpt["g_state"])
+    params = import_generator(ckpt["g_state"])
+    N = max(n1, n2) + 2
+    dobs = np.zeros((2, N, 8, 2), np.float32)
+    drel = np.zeros((2, N, 8, 2), np.float32)
+    dg = np.zeros((2, N), np.float32)
+    dv = np.zeros((2, N), np.float32)
+    for s, w in enumerate((w1, w2)):
+        n = w.num_peds
+        dobs[s, :n] = w.xy[:, :8]
+        drel[s, :n] = w.rel[:, :8]
+        dg[s, :n] = w.group[:, 7]
+        dv[s, :n] = 1.0
+    out = generator_forward(
+        params, cfg, *map(jnp.asarray, (dobs, drel, dg, dv)),
+        key=jax.random.PRNGKey(0), user_noise=jnp.zeros((2, 8)), train=False)
+    ours1 = np.asarray(out[0, :n1]).transpose(1, 0, 2)
+    ours2 = np.asarray(out[1, :n2]).transpose(1, 0, 2)
+    assert np.allclose(ours1, ref_out[:, :n1], atol=2e-3)
+    assert np.allclose(ours2, ref_out[:, n1:], atol=2e-3)
+
+
+def test_discriminator_forward_parity(ckpt, ref_models, scene):
+    _, disc = ref_models
+    n = scene.num_peds
+    traj = torch.tensor(scene.xy).permute(1, 0, 2)             # [20, n, 2]
+    traj_rel = torch.tensor(scene.rel).permute(1, 0, 2)
+    sse = torch.tensor([[0, n]])
+    with torch.no_grad():
+        ref_scores = disc(traj, traj_rel, sse).numpy()[:, 0]
+
+    cfg = config_from_checkpoint_args(ckpt["args"], ckpt["g_state"])
+    params = import_discriminator(ckpt["d_state"])
+    N = n + 3
+    dt = np.zeros((1, N, 20, 2), np.float32)
+    dr = np.zeros((1, N, 20, 2), np.float32)
+    dv = np.zeros((1, N), np.float32)
+    dt[0, :n] = scene.xy
+    dr[0, :n] = scene.rel
+    dv[0, :n] = 1.0
+    scores = discriminator_forward(
+        params, cfg, *map(jnp.asarray, (dt, dr, dv)), train=False)
+    assert np.allclose(np.asarray(scores[0, :n]), ref_scores, atol=2e-3), \
+        np.abs(np.asarray(scores[0, :n]) - ref_scores).max()
+
+
+def test_export_roundtrip(ckpt):
+    params = import_generator(ckpt["g_state"])
+    sd = export_state_dicts(params, "generator")
+    for k, v in sd.items():
+        assert np.allclose(v, ckpt["g_state"][k]), k
+    d = import_discriminator(ckpt["d_state"])
+    sd = export_state_dicts(d, "discriminator")
+    for k, v in sd.items():
+        assert np.allclose(v, ckpt["d_state"][k]), k
+
+
+@pytest.mark.parametrize("family,expect", [
+    ("models/sgan-g-p-models/zara1_12_model.pt", "gcn"),
+    ("models/01/checkpoint_with_model.pt", "none"),
+])
+def test_other_eras_import(family, expect):
+    path = os.path.join(REF, family)
+    if not os.path.exists(path):
+        pytest.skip("era checkpoint missing")
+    ck = load_torch_checkpoint(path)
+    cfg = config_from_checkpoint_args(ck["args"], ck["g_state"])
+    params = import_generator(ck["g_state"])
+    if expect == "gcn":
+        assert cfg.graph_module == "gcn"
+        assert "gcn_module" in params
+    else:
+        assert "mlp_decoder_context" in params or "pool_net" in params
