@@ -1,0 +1,167 @@
+"""Benchmark: full GAN training-iteration throughput on real zara1 data.
+
+Measures complete training iterations (1 discriminator update + 1 generator
+update with the best-of-20 vmapped variety loss, batch = 64 scenes padded
+dense) on whatever device JAX provides, and prints ONE JSON line.
+
+``vs_baseline`` is the ratio against the reference PyTorch implementation
+executing the identical workload (same data, same schedule, best_k=20,
+batch 64) measured on this container's CPU with torch 2.13 — the reference
+repo records no GPU throughput anywhere (BASELINE.md). Re-measure with
+``python bench.py --measure-reference``.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Reference torch-CPU zara1 iterations/sec on this container (measured via
+# --measure-reference; d_steps=1, g_steps=1, best_k=20, batch 64 scenes).
+REFERENCE_ITERS_PER_SEC = 0.131
+
+
+def bench_grouptraj(iters: int = 20, batch_size: int = 64,
+                    impl_override: str = ""):
+    import jax
+
+    from grouptraj.config import ModelConfig, TrainConfig
+    from grouptraj.train.loop import build_loaders
+    from grouptraj.train.steps import (
+        _batch_arrays, init_train_state, make_d_step, make_g_step,
+    )
+
+    cfg = ModelConfig()
+    tcfg = TrainConfig(dataset_name="zara1", batch_size=batch_size)
+    impl = impl_override or "scan"
+    try:
+        _, train_loader, _ = build_loaders(cfg, tcfg)
+        batches = []
+        it = iter(train_loader)
+        for _ in range(4):
+            batches.append(_batch_arrays(next(it)))
+    except (FileNotFoundError, StopIteration):
+        from grouptraj.parallel.data_parallel import synthetic_batch
+        batches = [synthetic_batch(batch_size, 64, seed=i) for i in range(4)]
+
+    d_step = make_d_step(cfg, tcfg, impl)
+    g_step = make_g_step(cfg, tcfg, impl)
+    key = jax.random.PRNGKey(0)
+    state = init_train_state(key, cfg, tcfg)
+
+    # warmup/compile
+    for i in range(2):
+        key, k1, k2 = jax.random.split(key, 3)
+        state, _ = d_step(state, batches[i % len(batches)], k1)
+        state, _ = g_step(state, batches[i % len(batches)], k2)
+    jax.block_until_ready(state)
+
+    t0 = time.time()
+    for i in range(iters):
+        key, k1, k2 = jax.random.split(key, 3)
+        b = batches[i % len(batches)]
+        state, _ = d_step(state, b, k1)
+        state, _ = g_step(state, b, k2)
+    jax.block_until_ready(state)
+    dt = time.time() - t0
+    return iters / dt
+
+
+def bench_reference(iters: int = 3, batch_size: int = 64) -> float:
+    """Time the reference PyTorch implementation on the same workload (CPU)."""
+    sys.path.insert(0, "/root/reference")
+    import torch
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    import importlib
+    import sgan.models as M
+    importlib.reload(M)
+
+    from sgan.data.loader import data_loader as ref_loader
+    from sgan.losses import gan_d_loss, gan_g_loss, l2_loss
+    from sgan.utils import relative_to_abs
+
+    class A:
+        obs_len, pred_len, skip, delim = 8, 12, 1, "tab"
+        batch_size = 64
+        loader_num_workers = 0
+
+    A.batch_size = batch_size
+    _, loader = ref_loader(A, "/root/reference/datasets_group/zara1/train")
+    gen = M.TrajectoryGenerator(
+        obs_len=8, pred_len=12, embedding_dim=16, encoder_h_dim=32,
+        decoder_h_dim=32, mlp_dim=64, num_layers=1, noise_dim=(8,),
+        noise_type="gaussian", noise_mix_type="global",
+        pooling_type="pool_net", pool_every_timestep=False, dropout=0.0,
+        bottleneck_dim=8, batch_norm=False, n_heads=1, dropout1=0, alpha=0.2)
+    disc = M.TrajectoryDiscriminator(
+        obs_len=8, pred_len=12, embedding_dim=16, h_dim=48, mlp_dim=64,
+        num_layers=1, dropout=0.0, batch_norm=False, d_type="global")
+    og = torch.optim.Adam(gen.parameters(), lr=1e-4)
+    od = torch.optim.Adam(disc.parameters(), lr=1e-3)
+
+    batches = []
+    it = iter(loader)
+    for _ in range(2):
+        batches.append(next(it))
+
+    def one_iter(batch):
+        (obs, pred_gt, obs_rel, pred_gt_rel, *_rest, loss_mask, sse) = batch
+        # D step
+        out = gen(obs, obs_rel, sse, _rest[2])
+        fake = relative_to_abs(out, obs[-1])
+        tr = torch.cat([obs, pred_gt], 0)
+        trr = torch.cat([obs_rel, pred_gt_rel], 0)
+        tf = torch.cat([obs, fake], 0)
+        tfr = torch.cat([obs_rel, out], 0)
+        loss = gan_d_loss(disc(tr, trr, sse), disc(tf, tfr, sse))
+        od.zero_grad(); loss.backward(); od.step()
+        # G step with best_k=20
+        lm = loss_mask[:, 8:]
+        l2s = []
+        for _ in range(20):
+            out = gen(obs, obs_rel, sse, _rest[2])
+            l2s.append(l2_loss(out, pred_gt_rel, lm, mode="raw"))
+        stacked = torch.stack(l2s, 1)
+        total = torch.zeros(1)
+        for s, e in sse:
+            per = torch.sum(stacked[s:e], 0)
+            total = total + torch.min(per) / torch.sum(lm[s:e])
+        fake = relative_to_abs(out, obs[-1])
+        tf = torch.cat([obs, fake], 0)
+        tfr = torch.cat([obs_rel, out], 0)
+        loss = total + gan_g_loss(disc(tf, tfr, sse))
+        og.zero_grad(); loss.backward()
+        torch.nn.utils.clip_grad_norm_(gen.parameters(), 2.0)
+        og.step()
+
+    one_iter(batches[0])        # warmup
+    t0 = time.time()
+    for i in range(iters):
+        one_iter(batches[i % len(batches)])
+    return iters / (time.time() - t0)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--impl", default="", choices=["", "scan", "pallas"])
+    ap.add_argument("--measure-reference", action="store_true")
+    args = ap.parse_args()
+    if args.measure_reference:
+        ref = bench_reference()
+        print(json.dumps({"metric": "reference_train_iters_per_sec",
+                          "value": round(ref, 4), "unit": "iters/s",
+                          "vs_baseline": 1.0}))
+    else:
+        ips = bench_grouptraj(args.iters, impl_override=args.impl)
+        print(json.dumps({
+            "metric": "train_iters_per_sec_zara1_bo20",
+            "value": round(ips, 3),
+            "unit": "iters/s",
+            "vs_baseline": round(ips / REFERENCE_ITERS_PER_SEC, 2),
+        }))

@@ -1,0 +1,63 @@
+"""Best-of-N ADE/FDE evaluation harness.
+
+Reference semantics (``scripts/evaluate_model.py:58-99``): for each batch,
+draw ``num_samples`` stochastic predictions; per scene, sum the raw error
+over its pedestrians, take the min over samples; normalize the grand totals
+by ``total_traj * pred_len`` (ADE) and ``total_traj`` (FDE). The reference's
+k sequential forwards per batch become one vmapped evaluation.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from grouptraj import losses as L
+from grouptraj.config import ModelConfig
+from grouptraj.models import generator_forward
+from grouptraj.utils import relative_to_abs
+
+
+def make_eval_step(cfg: ModelConfig, num_samples: int, impl: str = "scan"):
+    @jax.jit
+    def step(g_params, obs, obs_rel, group, valid, pred_gt, key):
+        keys = jax.random.split(key, num_samples)
+        preds = jax.vmap(lambda k: generator_forward(
+            g_params, cfg, obs, obs_rel, group, valid, k, train=False,
+            impl=impl))(keys)                              # [K, S, N, Tp, 2]
+        pred_abs = relative_to_abs(preds, obs[:, :, -1, :][None])
+        ade_raw = L.displacement_error(pred_abs, pred_gt[None],
+                                       valid[None], mode="raw")  # [K, S, N]
+        fde_raw = L.final_displacement_error(
+            pred_abs[:, :, :, -1], pred_gt[None][:, :, :, -1],
+            valid[None], mode="raw")
+        # per-scene sum over peds, min over samples (evaluate_helper)
+        ade_sum = jnp.sum(jnp.min(jnp.sum(ade_raw, axis=-1), axis=0))
+        fde_sum = jnp.sum(jnp.min(jnp.sum(fde_raw, axis=-1), axis=0))
+        return ade_sum, fde_sum, jnp.sum(valid)
+
+    return step
+
+
+def evaluate(cfg: ModelConfig, loader, g_params, num_samples: int = 20,
+             key: jax.Array | None = None, impl: str = "scan"
+             ) -> Tuple[float, float]:
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    step = make_eval_step(cfg, num_samples, impl)
+    ade_total = fde_total = traj_total = 0.0
+    for batch in loader:
+        key, sub = jax.random.split(key)
+        a, f, n = step(g_params, jnp.asarray(batch.obs),
+                       jnp.asarray(batch.obs_rel),
+                       jnp.asarray(batch.end_group),
+                       jnp.asarray(batch.valid),
+                       jnp.asarray(batch.pred), sub)
+        ade_total += float(a)
+        fde_total += float(f)
+        traj_total += float(n)
+    ade = ade_total / (traj_total * cfg.pred_len)
+    fde = fde_total / traj_total
+    return ade, fde

@@ -1,0 +1,203 @@
+"""Training loop: alternating D/G schedule with validation checkpointing.
+
+Mirrors the reference loop structure (``scripts/train.py:142-392``): an
+iteration = ``d_steps`` discriminator updates then ``g_steps`` generator
+updates, each consuming its own batch; loss logging every ``print_every``;
+every ``checkpoint_every`` iterations, val+train metrics, best-state tracking
+by min val ADE / ADE_nl, and dual checkpoint files. Adds steps/sec and
+trajectories/sec throughput reporting (the reference only has a --timing
+flag) and optional ``jax.profiler`` traces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from grouptraj.config import ModelConfig, TrainConfig
+from grouptraj.data import DenseDataset, DenseLoader, TrajectoryDataset
+from grouptraj.train import checkpoint as ckpt_lib
+from grouptraj.train.steps import (
+    TrainState, _batch_arrays, check_accuracy, init_train_state,
+    make_check_accuracy_step, make_d_step, make_g_step,
+)
+from grouptraj.utils import get_dset_path, round_up
+
+logger = logging.getLogger(__name__)
+
+
+def build_loaders(cfg: ModelConfig, tcfg: TrainConfig):
+    """Train+val loaders sharing one padded width (single XLA compilation)."""
+    train_path = get_dset_path(tcfg.dataset_name, "train")
+    val_path = get_dset_path(tcfg.dataset_name, "val")
+    logger.info("Initializing train dataset")
+    train_dset = TrajectoryDataset(train_path, cfg.obs_len, cfg.pred_len,
+                                   tcfg.skip, delim=tcfg.delim)
+    logger.info("Initializing val dataset")
+    val_dset = TrajectoryDataset(val_path, cfg.obs_len, cfg.pred_len,
+                                 tcfg.skip, delim=tcfg.delim)
+    n_max = tcfg.n_max or max(
+        8, round_up(max(train_dset.max_peds, val_dset.max_peds), 8))
+    train_dense = DenseDataset(train_dset, n_max)
+    val_dense = DenseDataset(val_dset, n_max)
+    train_loader = DenseLoader(train_dense, tcfg.batch_size, shuffle=True,
+                               seed=tcfg.seed)
+    val_loader = DenseLoader(val_dense, tcfg.batch_size, shuffle=False)
+    return train_dset, train_loader, val_loader
+
+
+def train(cfg: ModelConfig, tcfg: TrainConfig,
+          args_snapshot: Optional[dict] = None) -> dict:
+    """Run training; returns the final checkpoint dict."""
+    impl = "pallas" if (tcfg.use_pallas and
+                        jax.default_backend() == "tpu") else "scan"
+    train_dset, train_loader, val_loader = build_loaders(cfg, tcfg)
+
+    iterations_per_epoch = len(train_dset) / tcfg.batch_size / tcfg.d_steps
+    num_iterations = tcfg.num_iterations
+    if tcfg.num_epochs:
+        num_iterations = int(iterations_per_epoch * tcfg.num_epochs)
+    logger.info("There are %s iterations per epoch", iterations_per_epoch)
+
+    d_step = make_d_step(cfg, tcfg, impl)
+    g_step = make_g_step(cfg, tcfg, impl)
+    acc_step = make_check_accuracy_step(cfg, impl)
+
+    key = jax.random.PRNGKey(tcfg.seed)
+    key, k_init = jax.random.split(key)
+    state = init_train_state(k_init, cfg, tcfg)
+
+    if args_snapshot is None:
+        args_snapshot = {**dataclasses.asdict(cfg), **dataclasses.asdict(tcfg)}
+
+    restore_path = None
+    if tcfg.checkpoint_start_from:
+        restore_path = tcfg.checkpoint_start_from
+    elif tcfg.restore_from_checkpoint:
+        restore_path = os.path.join(
+            tcfg.output_dir, f"{tcfg.checkpoint_name}_with_model.pt")
+    ckpt = None
+    t, epoch = 0, 0
+    if restore_path:
+        ckpt = ckpt_lib.load_checkpoint(restore_path)
+    if ckpt is not None and ckpt.get("g_state") is not None:
+        logger.info("Restoring from checkpoint %s", restore_path)
+        state = ckpt_lib.state_from_checkpoint(ckpt, cfg, tcfg)
+        t = ckpt["counters"]["t"] or 0
+        epoch = ckpt["counters"]["epoch"] or 0
+        ckpt["restore_ts"].append(t)
+    else:
+        ckpt = ckpt_lib.new_checkpoint(args_snapshot)
+
+    losses_d, losses_g = {}, {}
+    t0 = time.time()
+    t_window_start, window_t0 = t, time.time()
+    while t < num_iterations:
+        d_steps_left = tcfg.d_steps
+        g_steps_left = tcfg.g_steps
+        epoch += 1
+        logger.info("Starting epoch %d", epoch)
+        for batch in train_loader:
+            arrays = _batch_arrays(batch)
+            if tcfg.timing:
+                jax.block_until_ready(state.g_params)
+                t1 = time.time()
+            key, sub = jax.random.split(key)
+            if d_steps_left > 0:
+                step_type = "d"
+                state, losses_d = d_step(state, arrays, sub)
+                d_steps_left -= 1
+            elif g_steps_left > 0:
+                step_type = "g"
+                state, losses_g = g_step(state, arrays, sub)
+                g_steps_left -= 1
+            if tcfg.timing:
+                jax.block_until_ready(state.g_params)
+                logger.info("%s step took %.4f", step_type, time.time() - t1)
+
+            if d_steps_left > 0 or g_steps_left > 0:
+                continue
+
+            # end of an iteration
+            if losses_d:
+                ckpt["norm_d"].append(float(losses_d.get("norm_d", 0.0)))
+            if losses_g:
+                ckpt["norm_g"].append(float(losses_g.get("norm_g", 0.0)))
+
+            if t % tcfg.print_every == 0:
+                jax.block_until_ready(state.g_params)
+                dt = time.time() - window_t0
+                steps_done = t - t_window_start
+                sps = steps_done / dt if dt > 0 and steps_done else 0.0
+                logger.info("t = %d / %d (%.2f iters/s, %.0f traj/s)",
+                            t + 1, num_iterations, sps,
+                            sps * tcfg.batch_size * train_loader.dense.n_max)
+                t_window_start, window_t0 = t, time.time()
+                for k, v in sorted(losses_d.items()):
+                    if k.startswith("D_"):
+                        logger.info("  [D] %s: %.3f", k, float(v))
+                        ckpt["D_losses"][k].append(float(v))
+                for k, v in sorted(losses_g.items()):
+                    if k.startswith("G_"):
+                        logger.info("  [G] %s: %.3f", k, float(v))
+                        ckpt["G_losses"][k].append(float(v))
+                ckpt["losses_ts"].append(t)
+
+            if t > 0 and t % tcfg.checkpoint_every == 0:
+                ckpt["counters"]["t"] = t
+                ckpt["counters"]["epoch"] = epoch
+                ckpt["sample_ts"].append(t)
+                key, k1, k2 = jax.random.split(key, 3)
+                logger.info("Checking stats on val ...")
+                metrics_val = check_accuracy(tcfg, val_loader, state,
+                                             acc_step, k1)
+                logger.info("Checking stats on train ...")
+                metrics_train = check_accuracy(tcfg, train_loader, state,
+                                               acc_step, k2, limit=True)
+                for k, v in sorted(metrics_val.items()):
+                    logger.info("  [val] %s: %.3f", k, v)
+                    ckpt["metrics_val"][k].append(v)
+                for k, v in sorted(metrics_train.items()):
+                    logger.info("  [train] %s: %.3f", k, v)
+                    ckpt["metrics_train"][k].append(v)
+
+                min_ade = min(ckpt["metrics_val"]["ade"])
+                min_ade_nl = min(ckpt["metrics_val"]["ade_nl"])
+                ckpt = ckpt_lib.checkpoint_from_state(ckpt, state)
+                if metrics_val["ade"] == min_ade:
+                    logger.info("New low for avg_disp_error")
+                    ckpt["best_t"] = t
+                    ckpt["g_best_state"] = ckpt["g_state"]
+                    ckpt["d_best_state"] = ckpt["d_state"]
+                if metrics_val["ade_nl"] == min_ade_nl:
+                    logger.info("New low for avg_disp_error_nl")
+                    ckpt["best_t_nl"] = t
+                    ckpt["g_best_nl_state"] = ckpt["g_state"]
+                    ckpt["d_best_nl_state"] = ckpt["d_state"]
+                ckpt_lib.save_checkpoint(ckpt, tcfg.output_dir,
+                                         tcfg.checkpoint_name)
+                logger.info("Saved checkpoint to %s", tcfg.output_dir)
+                window_t0, t_window_start = time.time(), t
+
+            t += 1
+            d_steps_left = tcfg.d_steps
+            g_steps_left = tcfg.g_steps
+            if t >= num_iterations:
+                break
+
+    jax.block_until_ready(state.g_params)
+    logger.info("Training done in %.1fs", time.time() - t0)
+    ckpt["counters"]["t"] = t
+    ckpt["counters"]["epoch"] = epoch
+    ckpt = ckpt_lib.checkpoint_from_state(ckpt, state)
+    if ckpt.get("g_best_state") is None:
+        ckpt["g_best_state"] = ckpt["g_state"]
+        ckpt["d_best_state"] = ckpt["d_state"]
+    ckpt_lib.save_checkpoint(ckpt, tcfg.output_dir, tcfg.checkpoint_name)
+    return ckpt

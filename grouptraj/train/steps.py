@@ -1,0 +1,242 @@
+"""Jitted GAN training steps: alternating discriminator / generator updates.
+
+Re-design of reference ``scripts/train.py:395-484``:
+- the best-of-k variety loss vmaps k noise keys through one generator
+  evaluation instead of k sequential Python-loop forwards
+  (reference ``train.py:443-445``);
+- gradient clipping matches torch semantics (clip grads by global norm, then
+  Adam) via ``optax.chain(clip_by_global_norm, adam)``;
+- the adversarial score reduction masks padded pedestrians; like the
+  reference, the g step feeds the discriminator the LAST of the k samples
+  (``train.py:468-471`` uses the final loop iterate).
+
+Each step is a pure function ``(state, batch, key) -> (state, losses)``
+compiled once per (S, N) shape; data parallelism is layered on by
+``grouptraj.parallel`` through sharding annotations, not code changes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from grouptraj import losses as L
+from grouptraj.config import ModelConfig, TrainConfig
+from grouptraj.models import (
+    discriminator_forward, generator_forward, init_discriminator,
+    init_generator,
+)
+from grouptraj.utils import relative_to_abs
+
+
+class TrainState(NamedTuple):
+    g_params: Any
+    d_params: Any
+    g_opt: Any
+    d_opt: Any
+
+
+def make_optimizers(tcfg: TrainConfig):
+    def chain(lr, clip):
+        steps = []
+        if clip and clip > 0:
+            steps.append(optax.clip_by_global_norm(clip))
+        steps.append(optax.adam(lr))
+        return optax.chain(*steps)
+
+    return (chain(tcfg.g_learning_rate, tcfg.clipping_threshold_g),
+            chain(tcfg.d_learning_rate, tcfg.clipping_threshold_d))
+
+
+def init_train_state(key: jax.Array, cfg: ModelConfig, tcfg: TrainConfig
+                     ) -> TrainState:
+    kg, kd = jax.random.split(key)
+    g_params = init_generator(kg, cfg)
+    d_params = init_discriminator(kd, cfg)
+    g_tx, d_tx = make_optimizers(tcfg)
+    return TrainState(g_params, d_params, g_tx.init(g_params),
+                      d_tx.init(d_params))
+
+
+def _batch_arrays(batch) -> Dict[str, jnp.ndarray]:
+    return dict(
+        obs=jnp.asarray(batch.obs), pred=jnp.asarray(batch.pred),
+        obs_rel=jnp.asarray(batch.obs_rel),
+        pred_rel=jnp.asarray(batch.pred_rel),
+        group=jnp.asarray(batch.obs_g[..., -1]),
+        valid=jnp.asarray(batch.valid),
+        loss_mask=jnp.asarray(batch.loss_mask),
+        non_linear=jnp.asarray(batch.non_linear),
+    )
+
+
+def _trajs(b, pred_rel_fake):
+    """Assemble full real/fake (abs, rel) trajectories [S, N, To+Tp, 2]."""
+    pred_abs_fake = relative_to_abs(pred_rel_fake, b["obs"][:, :, -1, :])
+    traj_real = jnp.concatenate([b["obs"], b["pred"]], axis=2)
+    traj_real_rel = jnp.concatenate([b["obs_rel"], b["pred_rel"]], axis=2)
+    traj_fake = jnp.concatenate([b["obs"], pred_abs_fake], axis=2)
+    traj_fake_rel = jnp.concatenate([b["obs_rel"], pred_rel_fake], axis=2)
+    return traj_real, traj_real_rel, traj_fake, traj_fake_rel
+
+
+def make_d_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
+                ) -> Callable:
+    """Discriminator step (reference ``train.py:395-429``)."""
+    _, d_tx = make_optimizers(tcfg)
+
+    @jax.jit
+    def d_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+               key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        b = batch
+        k_gen, k_label = jax.random.split(key)
+        pred_rel_fake = generator_forward(
+            state.g_params, cfg, b["obs"], b["obs_rel"], b["group"],
+            b["valid"], k_gen, impl=impl)
+        tr, trr, tf, tfr = _trajs(b, pred_rel_fake)
+
+        def loss_fn(d_params):
+            scores_fake = discriminator_forward(d_params, cfg, tf, tfr,
+                                                b["valid"], impl=impl)
+            scores_real = discriminator_forward(d_params, cfg, tr, trr,
+                                                b["valid"], impl=impl)
+            return L.gan_d_loss(scores_real, scores_fake, k_label,
+                                b["valid"])
+
+        data_loss, grads = jax.value_and_grad(loss_fn)(state.d_params)
+        updates, d_opt = d_tx.update(grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates)
+        losses = {"D_data_loss": data_loss, "D_total_loss": data_loss,
+                  "norm_d": optax.global_norm(grads)}
+        return state._replace(d_params=d_params, d_opt=d_opt), losses
+
+    return d_step
+
+
+def make_g_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
+                ) -> Callable:
+    """Generator step with vmapped best-of-k variety loss
+    (reference ``train.py:432-484``)."""
+    g_tx, _ = make_optimizers(tcfg)
+    best_k = tcfg.best_k
+
+    @jax.jit
+    def g_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+               key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        b = batch
+        k_label, k_samples = jax.random.split(key)
+        sample_keys = jax.random.split(k_samples, best_k)
+        pred_loss_mask = b["loss_mask"][..., cfg.obs_len:]
+
+        def loss_fn(g_params):
+            preds = jax.vmap(lambda k: generator_forward(
+                g_params, cfg, b["obs"], b["obs_rel"], b["group"],
+                b["valid"], k, impl=impl))(sample_keys)     # [K, S, N, Tp, 2]
+            variety = L.variety_l2_loss(
+                preds, b["pred_rel"], pred_loss_mask, b["valid"],
+                tcfg.l2_loss_weight) if tcfg.l2_loss_weight > 0 else 0.0
+            _, _, tf, tfr = _trajs(b, preds[-1])
+            scores_fake = discriminator_forward(
+                state.d_params, cfg, tf, tfr, b["valid"], impl=impl)
+            adv = L.gan_g_loss(scores_fake, k_label, b["valid"])
+            return variety + adv, (variety, adv)
+
+        (total, (variety, adv)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.g_params)
+        updates, g_opt = g_tx.update(grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+        losses = {"G_l2_loss_rel": variety, "G_discriminator_loss": adv,
+                  "G_total_loss": total, "norm_g": optax.global_norm(grads)}
+        return state._replace(g_params=g_params, g_opt=g_opt), losses
+
+    return g_step
+
+
+def make_check_accuracy_step(cfg: ModelConfig, impl: str = "scan") -> Callable:
+    """Per-batch raw sums for check_accuracy (reference ``train.py:487-568``):
+    single-sample eval-mode generator; the caller accumulates and normalizes.
+    """
+
+    @jax.jit
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray],
+             key: jax.Array) -> Dict[str, jnp.ndarray]:
+        b = batch
+        k_gen, k_label = jax.random.split(key)
+        valid = b["valid"]
+        linear = (1.0 - b["non_linear"]) * valid
+        non_linear = b["non_linear"] * valid
+        pred_loss_mask = b["loss_mask"][..., cfg.obs_len:]
+
+        pred_rel_fake = generator_forward(
+            state.g_params, cfg, b["obs"], b["obs_rel"], b["group"], valid,
+            k_gen, train=False, impl=impl)
+        pred_abs_fake = relative_to_abs(pred_rel_fake, b["obs"][:, :, -1, :])
+        tr, trr, tf, tfr = _trajs(b, pred_rel_fake)
+
+        scores_fake = discriminator_forward(state.d_params, cfg, tf, tfr,
+                                            valid, train=False, impl=impl)
+        scores_real = discriminator_forward(state.d_params, cfg, tr, trr,
+                                            valid, train=False, impl=impl)
+        out = {
+            "d_loss": L.gan_d_loss(scores_real, scores_fake, k_label, valid),
+            "g_l2_loss_abs": L.l2_loss(pred_abs_fake, b["pred"],
+                                       pred_loss_mask, "sum"),
+            "g_l2_loss_rel": L.l2_loss(pred_rel_fake, b["pred_rel"],
+                                       pred_loss_mask, "sum"),
+            "disp_error": L.displacement_error(pred_abs_fake, b["pred"],
+                                               valid),
+            "disp_error_l": L.displacement_error(pred_abs_fake, b["pred"],
+                                                 linear),
+            "disp_error_nl": L.displacement_error(pred_abs_fake, b["pred"],
+                                                  non_linear),
+            "f_disp_error": L.final_displacement_error(
+                pred_abs_fake[:, :, -1], b["pred"][:, :, -1], valid),
+            "f_disp_error_l": L.final_displacement_error(
+                pred_abs_fake[:, :, -1], b["pred"][:, :, -1], linear),
+            "f_disp_error_nl": L.final_displacement_error(
+                pred_abs_fake[:, :, -1], b["pred"][:, :, -1], non_linear),
+            "loss_mask_sum": jnp.sum(pred_loss_mask),
+            "total_traj": jnp.sum(valid),
+            "total_traj_l": jnp.sum(linear),
+            "total_traj_nl": jnp.sum(non_linear),
+        }
+        return out
+
+    return step
+
+
+def check_accuracy(args, loader, state: TrainState, step_fn, key: jax.Array,
+                   limit: bool = False) -> Dict[str, float]:
+    """Accumulate val/train metrics over a loader (reference
+    ``train.py:487-568`` — d_loss averaged per batch, the rest sample-summed
+    then normalized; ADE = Σ/(total_traj·pred_len), FDE = Σ/total_traj)."""
+    sums: Dict[str, float] = {}
+    d_losses = []
+    for batch in loader:
+        key, sub = jax.random.split(key)
+        out = step_fn(state, _batch_arrays(batch), sub)
+        out = {k: float(v) for k, v in out.items()}
+        d_losses.append(out.pop("d_loss"))
+        for k, v in out.items():
+            sums[k] = sums.get(k, 0.0) + v
+        if limit and sums["total_traj"] >= args.num_samples_check:
+            break
+    pred_len = loader.dense.pred_len
+    tt, tl, tnl = (sums["total_traj"], sums["total_traj_l"],
+                   sums["total_traj_nl"])
+    metrics = {
+        "d_loss": sum(d_losses) / max(len(d_losses), 1),
+        "g_l2_loss_abs": sums["g_l2_loss_abs"] / max(sums["loss_mask_sum"], 1),
+        "g_l2_loss_rel": sums["g_l2_loss_rel"] / max(sums["loss_mask_sum"], 1),
+        "ade": sums["disp_error"] / max(tt * pred_len, 1),
+        "fde": sums["f_disp_error"] / max(tt, 1),
+        "ade_l": sums["disp_error_l"] / (tl * pred_len) if tl else 0,
+        "fde_l": sums["f_disp_error_l"] / tl if tl else 0,
+        "ade_nl": sums["disp_error_nl"] / (tnl * pred_len) if tnl else 0,
+        "fde_nl": sums["f_disp_error_nl"] / tnl if tnl else 0,
+    }
+    return metrics

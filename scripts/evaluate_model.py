@@ -1,0 +1,73 @@
+"""Best-of-N ADE/FDE evaluation (reference ``scripts/evaluate_model.py``).
+
+Loads grouptraj checkpoints or reference PyTorch ``.pt`` checkpoints
+transparently, rebuilds the generator from the stored args, and reports
+best-of-``--num_samples`` ADE/FDE on the chosen split in the reference's
+output format. Evaluation runs the generator in eval mode (the reference
+calls ``.train()`` — harmless at dropout 0, consciously not reproduced;
+SURVEY.md §7).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--model_path", type=str)
+parser.add_argument("--num_samples", default=20, type=int)
+parser.add_argument("--dset_type", default="test", type=str)
+parser.add_argument("--use_best", default=0, type=int,
+                    help="evaluate g_best_state instead of g_state")
+parser.add_argument("--seed", default=0, type=int)
+
+
+def get_generator(checkpoint, use_best=False):
+    from grouptraj.compat import config_from_checkpoint_args, import_generator
+
+    state = checkpoint["g_best_state"] if (
+        use_best and checkpoint.get("g_best_state") is not None
+    ) else checkpoint["g_state"]
+    cfg = config_from_checkpoint_args(checkpoint["args"], state)
+    return cfg, import_generator(state)
+
+
+def main(args):
+    import jax
+
+    from grouptraj.config import TrainConfig
+    from grouptraj.data import data_loader
+    from grouptraj.eval import evaluate
+    from grouptraj.train.checkpoint import load_checkpoint
+    from grouptraj.utils import get_dset_path
+
+    if os.path.isdir(args.model_path):
+        filenames = sorted(os.listdir(args.model_path))
+        paths = [os.path.join(args.model_path, f) for f in filenames
+                 if f.endswith(".pt")]
+    else:
+        paths = [args.model_path]
+
+    for path in paths:
+        checkpoint = load_checkpoint(path)
+        if checkpoint is None or checkpoint.get("g_state") is None:
+            print(f"Skipping {path}: no model weights")
+            continue
+        cfg, g_params = get_generator(checkpoint, bool(args.use_best))
+        ck_args = checkpoint["args"]
+        dpath = get_dset_path(ck_args["dataset_name"], args.dset_type)
+        loader_cfg = TrainConfig(
+            batch_size=ck_args.get("batch_size", 64),
+            n_max=ck_args.get("n_max", 0) or 0)
+        _, loader = data_loader(loader_cfg, dpath, shuffle=False)
+        ade, fde = evaluate(cfg, loader, g_params, args.num_samples,
+                            key=jax.random.PRNGKey(args.seed))
+        print("Dataset: {}, Pred Len: {}, ADE: {:.2f}, FDE: {:.2f}".format(
+            ck_args["dataset_name"], ck_args["pred_len"], ade, fde))
+        for k, v in checkpoint["args"].items():
+            print(k, v)
+
+
+if __name__ == "__main__":
+    main(parser.parse_args())

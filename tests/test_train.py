@@ -1,0 +1,153 @@
+"""Training subsystem tests: GAN steps update params, losses finite and
+decreasing on a learnable toy task, checkpoint round-trip, check_accuracy."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grouptraj.config import ModelConfig, TrainConfig
+from grouptraj.eval import evaluate
+from grouptraj.parallel.data_parallel import synthetic_batch
+from grouptraj.train import (
+    TrainState, checkpoint_from_state, init_train_state, load_checkpoint,
+    make_check_accuracy_step, make_d_step, make_g_step, new_checkpoint,
+    save_checkpoint, state_from_checkpoint,
+)
+from grouptraj.train.steps import check_accuracy, make_optimizers
+
+CFG = ModelConfig()
+TCFG = TrainConfig(best_k=2, batch_size=4)
+
+
+@pytest.fixture(scope="module")
+def state():
+    return init_train_state(jax.random.PRNGKey(0), CFG, TCFG)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return synthetic_batch(4, 6)
+
+
+def _tree_diff(a, b):
+    return max(float(jnp.max(jnp.abs(x - y)))
+               for x, y in zip(jax.tree_util.tree_leaves(a),
+                               jax.tree_util.tree_leaves(b)))
+
+
+def test_d_step_updates_discriminator_only(state, batch):
+    d_step = make_d_step(CFG, TCFG)
+    new_state, losses = d_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses["D_total_loss"]))
+    assert _tree_diff(new_state.d_params, state.d_params) > 0
+    assert _tree_diff(new_state.g_params, state.g_params) == 0
+
+
+def test_g_step_updates_generator_only(state, batch):
+    g_step = make_g_step(CFG, TCFG)
+    new_state, losses = g_step(state, batch, jax.random.PRNGKey(2))
+    for k in ("G_l2_loss_rel", "G_discriminator_loss", "G_total_loss"):
+        assert np.isfinite(float(losses[k])), k
+    assert _tree_diff(new_state.g_params, state.g_params) > 0
+    assert _tree_diff(new_state.d_params, state.d_params) == 0
+
+
+def test_g_clip_matches_torch_order(state, batch):
+    """clipping_threshold_g clips the gradient global norm BEFORE Adam: with a
+    tiny threshold the update must still be Adam-sized (normalized), not
+    zero — i.e. clip-then-adam, not adam-then-clip."""
+    tcfg_small = dataclasses.replace(TCFG, clipping_threshold_g=1e-8)
+    g_step = make_g_step(CFG, tcfg_small)
+    new_state, _ = g_step(state, batch, jax.random.PRNGKey(2))
+    diff = _tree_diff(new_state.g_params, state.g_params)
+    # Adam normalizes the clipped grad, so steps are ~lr-sized, not ~1e-8
+    assert diff > 1e-6
+
+
+def test_training_reduces_variety_loss():
+    """A few G-only steps on a fixed batch should reduce the variety loss
+    (the model can memorize one batch)."""
+    tcfg = dataclasses.replace(TCFG, best_k=1, g_learning_rate=1e-3)
+    st = init_train_state(jax.random.PRNGKey(3), CFG, tcfg)
+    b = synthetic_batch(4, 6, seed=5)
+    g_step = make_g_step(CFG, tcfg)
+    first = last = None
+    key = jax.random.PRNGKey(0)
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        st, losses = g_step(st, b, sub)
+        if first is None:
+            first = float(losses["G_l2_loss_rel"])
+        last = float(losses["G_l2_loss_rel"])
+    assert last < first, (first, last)
+
+
+def test_check_accuracy_metrics(state, batch):
+    acc = make_check_accuracy_step(CFG)
+    out = acc(state, batch, jax.random.PRNGKey(0))
+    assert float(out["total_traj"]) == float(batch["valid"].sum())
+    assert float(out["total_traj_l"] + out["total_traj_nl"]) == \
+        pytest.approx(float(out["total_traj"]))
+    for k in ("d_loss", "disp_error", "f_disp_error"):
+        assert np.isfinite(float(out[k]))
+
+
+def test_checkpoint_roundtrip(tmp_path, state):
+    ckpt = new_checkpoint({"dataset_name": "test", "pred_len": 12})
+    ckpt["counters"]["t"] = 7
+    ckpt["metrics_val"]["ade"].append(1.0)
+    ckpt = checkpoint_from_state(ckpt, state)
+    save_checkpoint(ckpt, str(tmp_path), "checkpoint")
+    assert os.path.exists(tmp_path / "checkpoint_with_model.pt")
+    assert os.path.exists(tmp_path / "checkpoint_no_model.pt")
+
+    loaded = load_checkpoint(str(tmp_path / "checkpoint_with_model.pt"))
+    assert loaded["counters"]["t"] == 7
+    restored = state_from_checkpoint(loaded, CFG, TCFG)
+    assert jax.tree_util.tree_structure(restored.g_params) == \
+        jax.tree_util.tree_structure(state.g_params)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.g_params),
+                    jax.tree_util.tree_leaves(state.g_params)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+    # optimizer state round-trips too
+    for a, b in zip(jax.tree_util.tree_leaves(restored.g_opt),
+                    jax.tree_util.tree_leaves(state.g_opt)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+    # no_model checkpoint has weights stripped
+    small = load_checkpoint(str(tmp_path / "checkpoint_no_model.pt"))
+    assert "g_state" not in small
+
+
+def test_load_missing_checkpoint_returns_none(tmp_path):
+    assert load_checkpoint(str(tmp_path / "nope.pt")) is None
+
+
+def test_evaluate_harness_on_synthetic():
+    """Best-of-N eval: more samples can only improve (min over a superset)."""
+    from grouptraj.data.batching import DenseBatch
+
+    b = synthetic_batch(3, 6, seed=2)
+
+    class FakeLoader:
+        def __iter__(self):
+            yield DenseBatch(
+                obs=np.asarray(b["obs"]), pred=np.asarray(b["pred"]),
+                obs_rel=np.asarray(b["obs_rel"]),
+                pred_rel=np.asarray(b["pred_rel"]),
+                obs_g=np.repeat(np.asarray(b["group"])[:, :, None], 8, 2),
+                pred_g=np.repeat(np.asarray(b["group"])[:, :, None], 12, 2),
+                non_linear=np.asarray(b["non_linear"]),
+                loss_mask=np.asarray(b["loss_mask"]),
+                valid=np.asarray(b["valid"]))
+
+    st = init_train_state(jax.random.PRNGKey(0), CFG, TCFG)
+    ade1, fde1 = evaluate(CFG, FakeLoader(), st.g_params, num_samples=1,
+                          key=jax.random.PRNGKey(7))
+    ade20, fde20 = evaluate(CFG, FakeLoader(), st.g_params, num_samples=20,
+                            key=jax.random.PRNGKey(7))
+    assert np.isfinite(ade1) and np.isfinite(fde1)
+    assert ade20 <= ade1 * 1.05   # min over more samples shouldn't be worse
