@@ -133,6 +133,19 @@ def import_generator(g_state: Dict[str, np.ndarray]) -> dict:
             "gat_inter": _gat(sd, "gatencoder.gat_inter"),
             "out_embedding": _lin(sd, "gatencoder.out_embedding"),
         }
+    elif "gatencoder.gat_net.layer_stack.0.w" in sd:
+        layers = []
+        i = 0
+        while f"gatencoder.gat_net.layer_stack.{i}.w" in sd:
+            pre = f"gatencoder.gat_net.layer_stack.{i}"
+            layers.append({
+                "w": jnp.asarray(sd[f"{pre}.w"]),
+                "a_src": jnp.asarray(sd[f"{pre}.a_src"]),
+                "a_dst": jnp.asarray(sd[f"{pre}.a_dst"]),
+                "bias": jnp.asarray(sd[f"{pre}.bias"]),
+            })
+            i += 1
+        params["gatencoder"] = {"gat_net": {"layer_stack": layers}}
     elif "gcn_module.gcn_intra.W.0" in sd:
         params["gcn_module"] = {
             "gcn_intra": _gcn(sd, "gcn_module.gcn_intra"),
@@ -168,9 +181,23 @@ def config_from_checkpoint_args(args: dict, g_state=None) -> ModelConfig:
         noise_dim = tuple(noise_dim)
     graph_module = "gat"
     mlp_ctx = False
+    mh_units, mh_heads = (40, 16, 40), (4, 1)
     if g_state is not None:
         if "gatencoder.gat_intra.attention_0.W" in g_state:
             graph_module = "gat"
+        elif "gatencoder.gat_net.layer_stack.0.w" in g_state:
+            graph_module = "gat-mh"
+            mlp_ctx = True
+            units, heads = [], []
+            i = 0
+            while f"gatencoder.gat_net.layer_stack.{i}.w" in g_state:
+                w = g_state[f"gatencoder.gat_net.layer_stack.{i}.w"]
+                if i == 0:
+                    units.append(w.shape[1])
+                units.append(w.shape[2])
+                heads.append(w.shape[0])
+                i += 1
+            mh_units, mh_heads = tuple(units), tuple(heads)
         elif "gcn_module.gcn_intra.W.0" in g_state:
             # era (b): gcn_module was the live call; a dead
             # mlp_decoder_context may coexist (reference models.py:898-902)
@@ -204,6 +231,7 @@ def config_from_checkpoint_args(args: dict, g_state=None) -> ModelConfig:
         encoder_h_dim_d=args.get("encoder_h_dim_d", 48),
         neighborhood_size=float(args.get("neighborhood_size", 2.0)),
         grid_size=args.get("grid_size", 8),
+        mh_n_units=mh_units, mh_n_heads=mh_heads,
     )
     return cfg
 
@@ -260,10 +288,17 @@ def export_state_dicts(params: dict, kind: str) -> Dict[str, np.ndarray]:
                     pn["gcn_pooling_net_inter"])
                 lin("pool_net.out_embedding", pn["out_embedding"])
         if "gatencoder" in params:
-            gat("gatencoder.gat_intra", params["gatencoder"]["gat_intra"])
-            gat("gatencoder.gat_inter", params["gatencoder"]["gat_inter"])
-            lin("gatencoder.out_embedding",
-                params["gatencoder"]["out_embedding"])
+            if "gat_net" in params["gatencoder"]:
+                for i, layer in enumerate(
+                        params["gatencoder"]["gat_net"]["layer_stack"]):
+                    pre = f"gatencoder.gat_net.layer_stack.{i}"
+                    for name in ("w", "a_src", "a_dst", "bias"):
+                        out[f"{pre}.{name}"] = np.asarray(layer[name])
+            else:
+                gat("gatencoder.gat_intra", params["gatencoder"]["gat_intra"])
+                gat("gatencoder.gat_inter", params["gatencoder"]["gat_inter"])
+                lin("gatencoder.out_embedding",
+                    params["gatencoder"]["out_embedding"])
         if "gcn_module" in params:
             gcn("gcn_module.gcn_intra", params["gcn_module"]["gcn_intra"])
             gcn("gcn_module.gcn_inter", params["gcn_module"]["gcn_inter"])

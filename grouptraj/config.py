@@ -46,10 +46,16 @@ class ModelConfig:
     bottleneck_dim: int = 8
 
     # Graph module between pooling and noise
-    # 'gat'  = GATEncoder two-level group GAT (reference models.py:239-294, live path)
-    # 'gcn'  = GCNModule two-level group GCN (reference models.py:583-712, era-b path)
-    # 'none' = plain MLP decoder-context (upstream-sgan path)
+    # 'gat'    = GATEncoder two-level group GAT (reference models.py:239-294, live)
+    # 'gcn'    = GCNModule two-level group GCN (reference models.py:583-712, era-b)
+    # 'gat-mh' = batched multi-head group GAT + mlp_decoder_context
+    #            ("sgangat-g-*" era; reference models.py:296-388,890-898)
+    # 'none'   = plain MLP decoder-context (upstream-sgan path)
     graph_module: str = "gat"
+    # gat-mh stack shape (the reference CLI's [40]+hidden_units+[40],
+    # train.py:166-170, with the checkpoints' head counts)
+    mh_n_units: Tuple[int, ...] = (40, 16, 40)
+    mh_n_heads: Tuple[int, ...] = (4, 1)
     # Whether an mlp_decoder_context MLP maps context -> decoder_h - noise_dim
     # (only used when graph_module == 'none'; reference models.py:796-804)
     mlp_decoder_context: bool = False

@@ -20,8 +20,8 @@ import jax.numpy as jnp
 
 from grouptraj.config import ModelConfig
 from grouptraj.models.modules import (
-    gat_encoder, gcn_module, gcn_pooling,
-    init_gat_encoder, init_gcn_module, init_gcn_pooling,
+    gat_encoder, gat_encoder_mh, gcn_module, gcn_pooling,
+    init_gat_encoder, init_gat_encoder_mh, init_gcn_module, init_gcn_pooling,
 )
 from grouptraj.ops.linear import init_linear, init_mlp, linear, mlp_forward
 from grouptraj.ops.lstm import init_lstm, lstm_cell, lstm_scan
@@ -89,6 +89,13 @@ def init_generator(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> dict:
         params["gcn_module"] = init_gcn_module(
             keys[7], cfg.context_dim, cfg.gcn_hidden_dim, cfg.graph_out_dim,
             cfg.gcn_layers, cfg.decoder_context_dim, dtype)
+    elif cfg.graph_module == "gat-mh":
+        k_gat, k_mlp = jax.random.split(keys[7])
+        params["gatencoder"] = init_gat_encoder_mh(
+            k_gat, cfg.mh_n_units, cfg.mh_n_heads, dtype)
+        params["mlp_decoder_context"] = init_mlp(
+            k_mlp, [cfg.mh_n_units[-1], cfg.mlp_dim,
+                    cfg.decoder_context_dim], cfg.batch_norm, dtype)
     elif cfg.mlp_decoder_context:
         params["mlp_decoder_context"] = init_mlp(
             keys[7], [cfg.context_dim, cfg.mlp_dim, cfg.decoder_context_dim],
@@ -156,6 +163,12 @@ def generator_forward(
         elif cfg.graph_module == "gcn":
             noise_input = gcn_module(params["gcn_module"], ctx, group_end,
                                      valid)
+        elif cfg.graph_module == "gat-mh":
+            gm = gat_encoder_mh(params["gatencoder"], ctx, group_end, valid,
+                                cfg.alpha, cfg.dropout1, k_graph, train)
+            noise_input = mlp_forward(
+                params["mlp_decoder_context"], gm, cfg.activation,
+                cfg.batch_norm, cfg.dropout, k_graph, mask=valid, train=train)
         elif cfg.mlp_decoder_context:
             noise_input = mlp_forward(
                 params["mlp_decoder_context"], ctx, cfg.activation,

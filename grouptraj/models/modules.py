@@ -162,3 +162,32 @@ def gcn_pooling(params: dict, h: jnp.ndarray, end_pos: jnp.ndarray,
     out = linear(params["out_embedding"],
                  jnp.concatenate([intra, inter], axis=-1))
     return jnp.where(v > 0, out, 0.0)
+
+
+# ----------------------------------------------------- era-(b) GATEncoder-mh
+
+def init_gat_encoder_mh(key: jax.Array, n_units=(40, 16, 40),
+                        n_heads=(4, 1), dtype=jnp.float32) -> dict:
+    from grouptraj.ops.gat import init_batch_gat
+
+    return {"gat_net": init_batch_gat(key, list(n_units), list(n_heads),
+                                      dtype)}
+
+
+def gat_encoder_mh(params: dict, x: jnp.ndarray, labels: jnp.ndarray,
+                   valid: jnp.ndarray, alpha: float = 0.2,
+                   dropout: float = 0.0, key=None, train: bool = True
+                   ) -> jnp.ndarray:
+    """Era-(b) group GAT ("sgangat-g-*" checkpoints): a single batched
+    multi-head GAT stack over the row-normalized intra-group adjacency,
+    followed (in the generator) by mlp_decoder_context — per the reference's
+    commented forward (models.py:890-898). Reconstruction: the era's exact
+    class is commented out of the reference; semantics follow
+    BatchMultiHeadGraphAttention (models.py:296-388) with the checkpoint's
+    layer shapes."""
+    from grouptraj.ops.gat import batch_gat
+
+    a_intra = normalize_adjacency(intra_group_adjacency(labels, valid))
+    out = batch_gat(params["gat_net"], x, a_intra, valid, alpha, dropout,
+                    key, train)
+    return jnp.where(valid[..., None] > 0, out, 0.0)

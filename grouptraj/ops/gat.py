@@ -104,3 +104,80 @@ def gat(params: dict, x: jnp.ndarray, adj_mask: jnp.ndarray,
     x = jax.nn.elu(gat_layer(params["out_att"], x, adj_mask, alpha, False,
                              dropout, None, train))
     return jax.nn.log_softmax(x, axis=-1)
+
+
+# ------------------------------------------------------------------
+# Era-(b) batched multi-head GAT ("sgangat-g-*" checkpoint families).
+# Reconstructed from the reference's commented-out
+# BatchMultiHeadGraphAttention (models.py:296-455) whose parameters the
+# sgangat checkpoints carry: per-head weights w [K, F_in, F_out],
+# attention vectors a_src/a_dst [K, F_out, 1], bias [F_out]. Quirks
+# preserved: softmax over ALL scene peds (no adjacency mask), then the
+# post-softmax attention is MIXED with the row-normalized adjacency
+# (attn @ A, models.py:332) before aggregating.
+
+def init_batch_gat_layer(key: jax.Array, n_head: int, f_in: int, f_out: int,
+                         dtype=jnp.float32) -> dict:
+    kw, ks, kd = jax.random.split(key, 3)
+
+    def xav(k, shape):  # per-head xavier like the reference's 3-D init
+        return jnp.stack([_xavier_uniform(kk, shape[1:], 1.414, dtype)
+                          for kk in jax.random.split(k, shape[0])])
+
+    return {
+        "w": xav(kw, (n_head, f_in, f_out)),
+        "a_src": xav(ks, (n_head, f_out, 1)),
+        "a_dst": xav(kd, (n_head, f_out, 1)),
+        "bias": jnp.zeros((f_out,), dtype),
+    }
+
+
+def batch_gat_layer(params: dict, x: jnp.ndarray, adj_norm: jnp.ndarray,
+                    valid: jnp.ndarray, alpha: float = 0.2) -> jnp.ndarray:
+    """x [S, N, F_in], adj_norm [S, N, N] row-normalized (zeros at padding),
+    valid [S, N] -> [S, K, N, F_out]."""
+    h = jnp.einsum("snf,kfo->skno", x, params["w"])
+    src = jnp.einsum("skno,koi->skn", h, params["a_src"])
+    dst = jnp.einsum("skno,koi->skn", h, params["a_dst"])
+    e = jax.nn.leaky_relu(src[:, :, :, None] + dst[:, :, None, :],
+                          negative_slope=alpha)
+    e = jnp.where(valid[:, None, None, :] > 0, e, -jnp.inf)
+    attn = jax.nn.softmax(e, axis=-1)
+    attn = jnp.where(jnp.isfinite(attn), attn, 0.0)
+    attn = jnp.einsum("skim,smj->skij", attn, adj_norm)
+    out = attn @ h + params["bias"]
+    return out
+
+
+def init_batch_gat(key: jax.Array, n_units, n_heads, dtype=jnp.float32) -> dict:
+    layers = []
+    keys = jax.random.split(key, len(n_units) - 1)
+    for i, k in enumerate(keys):
+        f_in = n_units[i] * n_heads[i - 1] if i else n_units[i]
+        layers.append(init_batch_gat_layer(k, n_heads[i], f_in,
+                                           n_units[i + 1], dtype))
+    return {"layer_stack": layers}
+
+
+def batch_gat(params: dict, x: jnp.ndarray, adj_norm: jnp.ndarray,
+              valid: jnp.ndarray, alpha: float = 0.2, dropout: float = 0.0,
+              key: Optional[jax.Array] = None, train: bool = True
+              ) -> jnp.ndarray:
+    """Stacked batch-GAT (reference commented GAT, models.py:357-388):
+    intermediate layers concat heads + ELU + dropout; the final (1-head)
+    layer emits raw features."""
+    S, N = x.shape[:2]
+    n_layers = len(params["layer_stack"])
+    for i, layer in enumerate(params["layer_stack"]):
+        out = batch_gat_layer(layer, x, adj_norm, valid, alpha)
+        if i + 1 == n_layers:
+            x = out[:, 0]                       # final layer: single head
+        else:
+            x = jax.nn.elu(jnp.moveaxis(out, 1, 2).reshape(S, N, -1))
+            if dropout > 0 and train:
+                if key is None:
+                    raise ValueError("dropout requires a PRNG key")
+                key, sub = jax.random.split(key)
+                keep = jax.random.bernoulli(sub, 1.0 - dropout, x.shape)
+                x = jnp.where(keep, x / (1.0 - dropout), 0.0)
+    return x

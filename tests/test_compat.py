@@ -240,3 +240,27 @@ def test_other_eras_import(family, expect):
         assert "gcn_module" in params
     else:
         assert "mlp_decoder_context" in params or "pool_net" in params
+
+
+def test_gat_mh_era_import_and_forward():
+    """sgangat-g-p family (batched multi-head GAT era) loads and runs."""
+    path = os.path.join(REF, "models/sgangat-g-p-models/zara1_12_model.pt")
+    if not os.path.exists(path):
+        pytest.skip("era checkpoint missing")
+    import jax.numpy as jnp
+
+    from grouptraj.parallel.data_parallel import synthetic_batch
+
+    ck = load_torch_checkpoint(path)
+    cfg = config_from_checkpoint_args(ck["args"], ck["g_state"])
+    assert cfg.graph_module == "gat-mh"
+    assert cfg.mh_n_units == (40, 16, 40) and cfg.mh_n_heads == (4, 1)
+    params = import_generator(ck["g_state"])
+    b = synthetic_batch(2, 6)
+    out = generator_forward(params, cfg, b["obs"], b["obs_rel"], b["group"],
+                            b["valid"], jax.random.PRNGKey(0), train=False)
+    assert out.shape == (2, 6, 12, 2)
+    assert bool(jnp.isfinite(out).all())
+    sd = export_state_dicts(params, "generator")
+    for k, v in sd.items():
+        assert np.allclose(v, ck["g_state"][k]), k
