@@ -133,6 +133,8 @@ class TrainConfig:
     num_samples_check: int = 5000
 
     timing: bool = False
+    profile_dir: str = ""                 # emit a jax.profiler trace of
+                                          # iterations [50, 60) when set
     seed: int = 0
 
     # TPU-specific

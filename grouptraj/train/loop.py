@@ -20,6 +20,9 @@ from typing import Optional
 import jax
 import numpy as np
 
+import queue
+import threading
+
 from grouptraj.config import ModelConfig, TrainConfig
 from grouptraj.data import DenseDataset, DenseLoader, TrajectoryDataset
 from grouptraj.train import checkpoint as ckpt_lib
@@ -30,6 +33,33 @@ from grouptraj.train.steps import (
 from grouptraj.utils import get_dset_path, round_up
 
 logger = logging.getLogger(__name__)
+
+
+class _Prefetcher:
+    """Background thread converting+transferring batches ahead of the step.
+
+    ``jax.device_put`` is async, but the numpy slicing + transfer enqueue
+    still costs ~15 ms/batch on the host; overlapping it with device compute
+    keeps the device queue full. Depth 2 bounds host memory.
+    """
+
+    def __init__(self, loader, depth: int = 2):
+        self._loader = loader
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        for batch in self._loader:
+            self._q.put(_batch_arrays(batch))
+        self._q.put(None)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            yield item
 
 
 def build_loaders(cfg: ModelConfig, tcfg: TrainConfig):
@@ -96,6 +126,22 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
         ckpt = ckpt_lib.new_checkpoint(args_snapshot)
 
     losses_d, losses_g = {}, {}
+    # Per-iteration grad norms stay ON DEVICE and drain in bulk at print /
+    # checkpoint events: the device is behind an async queue (possibly a
+    # network tunnel) and a float() per iteration would serialize every step
+    # on a host<->device roundtrip.
+    pending_norm_d, pending_norm_g = [], []
+
+    def drain_norms():
+        if pending_norm_d:
+            ckpt["norm_d"].extend(
+                float(v) for v in jax.device_get(pending_norm_d))
+            pending_norm_d.clear()
+        if pending_norm_g:
+            ckpt["norm_g"].extend(
+                float(v) for v in jax.device_get(pending_norm_g))
+            pending_norm_g.clear()
+
     t0 = time.time()
     t_window_start, window_t0 = t, time.time()
     while t < num_iterations:
@@ -103,8 +149,7 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
         g_steps_left = tcfg.g_steps
         epoch += 1
         logger.info("Starting epoch %d", epoch)
-        for batch in train_loader:
-            arrays = _batch_arrays(batch)
+        for arrays in _Prefetcher(train_loader):
             if tcfg.timing:
                 jax.block_until_ready(state.g_params)
                 t1 = time.time()
@@ -124,11 +169,22 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
             if d_steps_left > 0 or g_steps_left > 0:
                 continue
 
-            # end of an iteration
+            # optional profiler window (reference only had --timing wall
+            # clocks, scripts/train.py:281-313; this emits a real XLA trace)
+            if tcfg.profile_dir:
+                if t == 50:
+                    jax.profiler.start_trace(tcfg.profile_dir)
+                elif t == 60:
+                    jax.block_until_ready(state.g_params)
+                    jax.profiler.stop_trace()
+                    logger.info("profiler trace written to %s",
+                                tcfg.profile_dir)
+
+            # end of an iteration: enqueue device scalars, no sync
             if losses_d:
-                ckpt["norm_d"].append(float(losses_d.get("norm_d", 0.0)))
+                pending_norm_d.append(losses_d.get("norm_d", 0.0))
             if losses_g:
-                ckpt["norm_g"].append(float(losses_g.get("norm_g", 0.0)))
+                pending_norm_g.append(losses_g.get("norm_g", 0.0))
 
             if t % tcfg.print_every == 0:
                 jax.block_until_ready(state.g_params)
@@ -139,6 +195,7 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
                             t + 1, num_iterations, sps,
                             sps * tcfg.batch_size * train_loader.dense.n_max)
                 t_window_start, window_t0 = t, time.time()
+                drain_norms()
                 for k, v in sorted(losses_d.items()):
                     if k.startswith("D_"):
                         logger.info("  [D] %s: %.3f", k, float(v))
@@ -150,6 +207,7 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
                 ckpt["losses_ts"].append(t)
 
             if t > 0 and t % tcfg.checkpoint_every == 0:
+                drain_norms()
                 ckpt["counters"]["t"] = t
                 ckpt["counters"]["epoch"] = epoch
                 ckpt["sample_ts"].append(t)
@@ -192,6 +250,7 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
                 break
 
     jax.block_until_ready(state.g_params)
+    drain_norms()
     logger.info("Training done in %.1fs", time.time() - t0)
     ckpt["counters"]["t"] = t
     ckpt["counters"]["epoch"] = epoch

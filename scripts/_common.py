@@ -22,6 +22,30 @@ FORMAT = "[%(levelname)s: %(filename)s: %(lineno)4d]: %(message)s"
 
 def setup_logging():
     logging.basicConfig(level=logging.INFO, format=FORMAT, stream=sys.stdout)
+    setup_jax_cache()
+
+
+def setup_jax_cache():
+    """Persistent XLA compilation cache: first compiles of the train/eval
+    steps take minutes on a tunneled TPU; every later script invocation with
+    the same shapes then loads from disk."""
+    import jax
+
+    # honor an explicit platform request even when a site plugin (axon)
+    # pre-empts the JAX_PLATFORMS env var
+    platform = os.environ.get("GROUPTRAJ_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
+    cache = os.environ.get(
+        "GROUPTRAJ_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "grouptraj_xla"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the flags — cache is an optimization only
 
 
 def build_parser(gcn_variant: bool = False) -> argparse.ArgumentParser:
@@ -93,8 +117,10 @@ def build_parser(gcn_variant: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--n_max", default=0, type=int,
                    help="pad scenes to this many peds (0 = derive)")
-    p.add_argument("--use_pallas", default=1, type=bool_flag,
+    p.add_argument("--use_pallas", default=0, type=bool_flag,
                    help="fused Pallas LSTM kernels on TPU")
+    p.add_argument("--profile_dir", default="", type=str,
+                   help="emit a jax.profiler trace of iterations 50-60")
     return p
 
 
@@ -135,6 +161,7 @@ def configs_from_args(args, gcn_variant: bool = False):
         checkpoint_start_from=args.checkpoint_start_from,
         restore_from_checkpoint=bool(args.restore_from_checkpoint),
         num_samples_check=args.num_samples_check, timing=bool(args.timing),
+        profile_dir=args.profile_dir,
         seed=args.seed, n_max=args.n_max, use_pallas=bool(args.use_pallas),
     )
     return mcfg, tcfg

@@ -34,6 +34,8 @@ def get_generator(checkpoint, use_best=False):
 
 
 def main(args):
+    from scripts._common import setup_jax_cache
+    setup_jax_cache()
     import jax
 
     from grouptraj.config import TrainConfig

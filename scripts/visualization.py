@@ -21,6 +21,8 @@ parser.add_argument("--seed", default=0, type=int)
 
 
 def main(args):
+    from scripts._common import setup_jax_cache
+    setup_jax_cache()
     import matplotlib
     matplotlib.use("Agg")
     import jax

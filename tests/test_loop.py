@@ -1,0 +1,80 @@
+"""End-to-end training-loop test on a tiny synthetic dataset (CPU).
+
+Exercises the full user path: dataset dir -> train() -> checkpoint files ->
+resume -> evaluate_model-style reload, entirely through the public API.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from grouptraj.config import ModelConfig, TrainConfig
+from grouptraj.train.loop import train
+
+
+@pytest.fixture
+def data_root(tmp_path, monkeypatch):
+    """GROUPTRAJ_DATA_DIR with tiny train/val splits for a fake scene."""
+    rng = np.random.default_rng(0)
+    for split, nframes in (("train", 40), ("val", 25)):
+        d = tmp_path / "toy" / split
+        d.mkdir(parents=True)
+        rows = []
+        for t in range(nframes):
+            for p in (1, 2, 3, 4):
+                x = 0.1 * t + p + 0.01 * rng.standard_normal()
+                y = 0.05 * t - p
+                rows.append(f"{t*10.0}\t{p}.0\t{x:.4f}\t{y:.4f}\t{p % 2}.0")
+        (d / "toy.txt").write_text("\n".join(rows) + "\n")
+    monkeypatch.setenv("GROUPTRAJ_DATA_DIR", str(tmp_path))
+    return tmp_path
+
+
+def test_train_checkpoint_resume_eval(data_root, tmp_path):
+    out = str(tmp_path / "out")
+    mcfg = ModelConfig()
+    tcfg = TrainConfig(dataset_name="toy", batch_size=4, num_epochs=0,
+                       num_iterations=4, checkpoint_every=2, print_every=1,
+                       best_k=2, output_dir=out, checkpoint_name="ck",
+                       num_samples_check=50)
+    ckpt = train(mcfg, tcfg)
+    assert ckpt["counters"]["t"] == 4
+    assert os.path.exists(os.path.join(out, "ck_with_model.pt"))
+    assert os.path.exists(os.path.join(out, "ck_no_model.pt"))
+    assert len(ckpt["metrics_val"]["ade"]) >= 1
+    assert len(ckpt["norm_g"]) >= 1 and np.isfinite(ckpt["norm_g"]).all()
+    assert ckpt["g_best_state"] is not None
+
+    # resume picks up the counter and continues
+    tcfg2 = TrainConfig(**{**tcfg.__dict__, "num_iterations": 6})
+    ckpt2 = train(mcfg, tcfg2)
+    assert ckpt2["counters"]["t"] == 6
+    assert 4 in ckpt2["restore_ts"]
+
+    # the saved checkpoint reloads through the eval path
+    from grouptraj.compat import (
+        config_from_checkpoint_args, import_generator,
+    )
+    from grouptraj.train.checkpoint import load_checkpoint
+
+    loaded = load_checkpoint(os.path.join(out, "ck_with_model.pt"))
+    cfg = config_from_checkpoint_args(loaded["args"], loaded["g_state"])
+    params = import_generator(loaded["g_state"])
+    assert cfg.graph_module == "gat"
+    assert params["encoder"]["lstm"]["w_ih"].shape == (16, 128)
+
+
+def test_train_gcn_pooling_variant(data_root, tmp_path):
+    """The train_GCN configuration (GCNPooling pool-net) trains end-to-end —
+    a working config that crashes in the reference."""
+    out = str(tmp_path / "out_gcn")
+    mcfg = ModelConfig(pooling_type="gcn", graph_module="none",
+                       mlp_decoder_context=True, bottleneck_dim=16)
+    tcfg = TrainConfig(dataset_name="toy", batch_size=4, num_epochs=0,
+                       num_iterations=2, checkpoint_every=10, print_every=1,
+                       best_k=1, d_steps=2, output_dir=out)
+    ckpt = train(mcfg, tcfg)
+    assert ckpt["counters"]["t"] == 2
+    assert any(k.startswith("pool_net.gcn_pooling_net_intra")
+               for k in ckpt["g_state"])

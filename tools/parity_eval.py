@@ -30,6 +30,8 @@ FAMILIES = {
 
 
 def evaluate_checkpoint(path, num_samples, seed=0):
+    from scripts._common import setup_jax_cache
+    setup_jax_cache()
     import jax
 
     from grouptraj.compat import (
