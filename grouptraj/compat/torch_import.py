@@ -13,7 +13,6 @@ un-transposed by the reference and map 1:1.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Tuple
 
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ Re-design of reference ``sgan/models.py:715-927``. Differences by design:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ the multi-chip path compiles and executes without N real chips.
 
 from __future__ import annotations
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp

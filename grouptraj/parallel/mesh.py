@@ -15,7 +15,6 @@ is the only axis that scales.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import numpy as np

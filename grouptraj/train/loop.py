@@ -18,7 +18,6 @@ import time
 from typing import Optional
 
 import jax
-import numpy as np
 
 import queue
 import threading
@@ -27,7 +26,7 @@ from grouptraj.config import ModelConfig, TrainConfig
 from grouptraj.data import DenseDataset, DenseLoader, TrajectoryDataset
 from grouptraj.train import checkpoint as ckpt_lib
 from grouptraj.train.steps import (
-    TrainState, _batch_arrays, check_accuracy, init_train_state,
+    _batch_arrays, check_accuracy, init_train_state,
     make_check_accuracy_step, make_d_step, make_g_step,
 )
 from grouptraj.utils import get_dset_path, round_up

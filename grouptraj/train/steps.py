@@ -17,7 +17,6 @@ compiled once per (S, N) shape; data parallelism is layered on by
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Dict, NamedTuple, Tuple
 
 import jax

@@ -5,7 +5,6 @@ e.g. ``--dataset_name zara1 --pred_len 12 --best_k 20``); the GPU-era flags
 ``--use_gpu``/``--gpu_num`` are accepted and ignored.
 """
 
-import sys
 
 from _common import build_parser, configs_from_args, setup_logging
 

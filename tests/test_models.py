@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from grouptraj.config import MODEL_PRESETS, ModelConfig
+from grouptraj.config import MODEL_PRESETS
 from grouptraj.models import (
     discriminator_forward, gat_encoder, gcn_module, gcn_pooling,
     init_discriminator, init_gat_encoder, init_gcn_module, init_gcn_pooling,

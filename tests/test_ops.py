@@ -8,7 +8,7 @@ import pytest
 
 from grouptraj.ops import (
     gat, gat_layer, gcn, get_noise, group_membership, init_gat, init_gat_layer,
-    init_gcn, init_linear, init_lstm, init_mlp, init_pool_hidden_net,
+    init_linear, init_lstm, init_mlp, init_pool_hidden_net,
     intra_group_adjacency, linear, lstm_cell, lstm_scan, mlp_forward,
     normalize_adjacency, pool_hidden_net,
 )

@@ -1,14 +1,12 @@
 """Multi-device data-parallel tests on the 8-virtual-device CPU mesh."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from grouptraj.config import ModelConfig, TrainConfig
 from grouptraj.parallel import (
-    batch_sharding, dryrun_multichip, make_mesh, replicate_state,
-    shard_arrays,
+    dryrun_multichip, make_mesh, replicate_state, shard_arrays,
 )
 from grouptraj.parallel.data_parallel import synthetic_batch
 from grouptraj.train import init_train_state, make_d_step, make_g_step

@@ -13,11 +13,11 @@ from grouptraj.config import ModelConfig, TrainConfig
 from grouptraj.eval import evaluate
 from grouptraj.parallel.data_parallel import synthetic_batch
 from grouptraj.train import (
-    TrainState, checkpoint_from_state, init_train_state, load_checkpoint,
+    checkpoint_from_state, init_train_state, load_checkpoint,
     make_check_accuracy_step, make_d_step, make_g_step, new_checkpoint,
     save_checkpoint, state_from_checkpoint,
 )
-from grouptraj.train.steps import check_accuracy, make_optimizers
+from grouptraj.train.steps import check_accuracy
 
 CFG = ModelConfig()
 TCFG = TrainConfig(best_k=2, batch_size=4)
