@@ -114,6 +114,10 @@ def build_parser(gcn_variant: bool = False) -> argparse.ArgumentParser:
         p.add_argument("--dropout1", type=float, default=0)
         p.add_argument("--alpha", type=float, default=0.2)
     # TPU-native extensions
+    p.add_argument("--graph_module", default=None, type=str,
+                   choices=["gat", "gcn", "gat-mh", "none"],
+                   help="override the group graph module "
+                        "(default: gat for train.py, none for train_GCN.py)")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--n_max", default=0, type=int,
                    help="pad scenes to this many peds (0 = derive)")
@@ -129,6 +133,10 @@ def configs_from_args(args, gcn_variant: bool = False):
         graph_module, mlp_ctx = "none", True
     else:
         graph_module, mlp_ctx = "gat", False
+    if getattr(args, "graph_module", None):
+        graph_module = args.graph_module
+        # gat-mh and plain 'none' route context through mlp_decoder_context
+        mlp_ctx = graph_module in ("gat-mh", "none")
     mcfg = ModelConfig(
         obs_len=args.obs_len, pred_len=args.pred_len,
         embedding_dim=args.embedding_dim, num_layers=args.num_layers,
