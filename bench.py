@@ -24,50 +24,78 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_ITERS_PER_SEC = 0.131
 
 
-def bench_grouptraj(iters: int = 20, batch_size: int = 64,
+def bench_grouptraj(iters: int = 200, batch_size: int = 64,
                     impl_override: str = ""):
+    """Measures the production training path: device-resident dataset,
+    chunked dispatch (10 iterations per lax.scan dispatch), zara1, d+g
+    alternation with best-of-20 variety loss."""
     import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     from grouptraj.config import ModelConfig, TrainConfig
+    from grouptraj.train.device_data import IndexStream, device_dataset
     from grouptraj.train.loop import build_loaders
-    from grouptraj.train.steps import (
-        _batch_arrays, init_train_state, make_d_step, make_g_step,
-    )
+    from grouptraj.train.steps import init_train_state, make_train_chunk
 
     cfg = ModelConfig()
     tcfg = TrainConfig(dataset_name="zara1", batch_size=batch_size)
     impl = impl_override or "scan"
+    chunk = tcfg.steps_per_dispatch
     try:
         _, train_loader, _ = build_loaders(cfg, tcfg)
-        batches = []
-        it = iter(train_loader)
-        for _ in range(4):
-            batches.append(_batch_arrays(next(it)))
-    except (FileNotFoundError, StopIteration):
+        data = device_dataset(train_loader.dense, cfg.obs_len)
+        num_seq = train_loader.dense.num_seq
+    except FileNotFoundError:
         from grouptraj.parallel.data_parallel import synthetic_batch
-        batches = [synthetic_batch(batch_size, 64, seed=i) for i in range(4)]
+        from grouptraj.data.batching import DenseDataset
 
-    d_step = make_d_step(cfg, tcfg, impl)
-    g_step = make_g_step(cfg, tcfg, impl)
+        b = synthetic_batch(256, 64)
+        class FakeDense:  # minimal stand-in when datasets are absent
+            num_seq = 256
+        import numpy as _np
+        data = jax.device_put({
+            "xy": _np.concatenate([_np.asarray(jnp.concatenate(
+                [b["obs"], b["pred"]], axis=2)), _np.zeros((1, 64, 20, 2),
+                _np.float32)]),
+            "rel": _np.concatenate([_np.asarray(jnp.concatenate(
+                [b["obs_rel"], b["pred_rel"]], axis=2)),
+                _np.zeros((1, 64, 20, 2), _np.float32)]),
+            "group_end": _np.concatenate([_np.asarray(b["group"]),
+                                          _np.zeros((1, 64), _np.float32)]),
+            "loss_mask": _np.concatenate([_np.asarray(b["loss_mask"]),
+                                          _np.zeros((1, 64, 20),
+                                                    _np.float32)]),
+            "non_linear": _np.concatenate([_np.asarray(b["non_linear"]),
+                                           _np.zeros((1, 64), _np.float32)]),
+            "valid": _np.concatenate([_np.asarray(b["valid"]),
+                                      _np.zeros((1, 64), _np.float32)]),
+        })
+        num_seq = 256
+
+    run = make_train_chunk(cfg, tcfg, impl, chunk)
+    stream = iter(IndexStream(num_seq, batch_size))
     key = jax.random.PRNGKey(0)
     state = init_train_state(key, cfg, tcfg)
 
+    def next_idx():
+        return jnp.asarray(np.stack([
+            np.stack([next(stream) for _ in range(2)])
+            for _ in range(chunk)]))
+
     # warmup/compile
-    for i in range(2):
-        key, k1, k2 = jax.random.split(key, 3)
-        state, _ = d_step(state, batches[i % len(batches)], k1)
-        state, _ = g_step(state, batches[i % len(batches)], k2)
+    key, sub = jax.random.split(key)
+    state, _ = run(state, data, next_idx(), sub)
     jax.block_until_ready(state)
 
+    n_chunks = max(1, iters // chunk)
     t0 = time.time()
-    for i in range(iters):
-        key, k1, k2 = jax.random.split(key, 3)
-        b = batches[i % len(batches)]
-        state, _ = d_step(state, b, k1)
-        state, _ = g_step(state, b, k2)
+    for _ in range(n_chunks):
+        key, sub = jax.random.split(key)
+        state, _ = run(state, data, next_idx(), sub)
     jax.block_until_ready(state)
     dt = time.time() - t0
-    return iters / dt
+    return n_chunks * chunk / dt
 
 
 def bench_reference(iters: int = 3, batch_size: int = 64) -> float:
@@ -148,7 +176,7 @@ def bench_reference(iters: int = 3, batch_size: int = 64) -> float:
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--impl", default="", choices=["", "scan", "pallas"])
     ap.add_argument("--measure-reference", action="store_true")
     args = ap.parse_args()

@@ -138,6 +138,10 @@ class TrainConfig:
     seed: int = 0
 
     # TPU-specific
+    # Training iterations fused into one dispatch (lax.scan over the
+    # device-resident dataset). >1 amortizes host->device roundtrips — the
+    # dominant cost on a tunneled TPU; semantics are identical.
+    steps_per_dispatch: int = 10
     n_max: int = 0                        # 0 = derive from dataset (rounded up to 8)
     num_devices: int = 0                  # 0 = all visible devices (data parallel)
     # Fused Pallas LSTM kernels. Off by default: at these model sizes the

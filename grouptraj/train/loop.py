@@ -18,6 +18,8 @@ import time
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 import queue
 import threading
@@ -25,9 +27,10 @@ import threading
 from grouptraj.config import ModelConfig, TrainConfig
 from grouptraj.data import DenseDataset, DenseLoader, TrajectoryDataset
 from grouptraj.train import checkpoint as ckpt_lib
+from grouptraj.train.device_data import IndexStream, device_dataset
 from grouptraj.train.steps import (
     _batch_arrays, check_accuracy, init_train_state,
-    make_check_accuracy_step, make_d_step, make_g_step,
+    make_check_accuracy_step, make_train_chunk,
 )
 from grouptraj.utils import get_dset_path, round_up
 
@@ -94,8 +97,6 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
         num_iterations = int(iterations_per_epoch * tcfg.num_epochs)
     logger.info("There are %s iterations per epoch", iterations_per_epoch)
 
-    d_step = make_d_step(cfg, tcfg, impl)
-    g_step = make_g_step(cfg, tcfg, impl)
     acc_step = make_check_accuracy_step(cfg, impl)
 
     key = jax.random.PRNGKey(tcfg.seed)
@@ -124,7 +125,6 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
     else:
         ckpt = ckpt_lib.new_checkpoint(args_snapshot)
 
-    losses_d, losses_g = {}, {}
     # Per-iteration grad norms stay ON DEVICE and drain in bulk at print /
     # checkpoint events: the device is behind an async queue (possibly a
     # network tunnel) and a float() per iteration would serialize every step
@@ -134,119 +134,129 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
     def drain_norms():
         if pending_norm_d:
             ckpt["norm_d"].extend(
-                float(v) for v in jax.device_get(pending_norm_d))
+                np.concatenate([np.atleast_1d(np.asarray(v))
+                                for v in jax.device_get(pending_norm_d)])
+                .tolist())
             pending_norm_d.clear()
         if pending_norm_g:
             ckpt["norm_g"].extend(
-                float(v) for v in jax.device_get(pending_norm_g))
+                np.concatenate([np.atleast_1d(np.asarray(v))
+                                for v in jax.device_get(pending_norm_g)])
+                .tolist())
             pending_norm_g.clear()
+
+    # ---- device-resident training: the whole dense dataset lives in HBM;
+    # each dispatch ships only [chunk, spi, S] int32 scene indices and runs
+    # `chunk` full iterations under one lax.scan (see train/device_data.py).
+    spi = tcfg.d_steps + tcfg.g_steps
+    chunk = max(1, tcfg.steps_per_dispatch)
+    data = device_dataset(train_loader.dense, cfg.obs_len)
+    stream = IndexStream(train_loader.dense.num_seq, tcfg.batch_size,
+                         seed=tcfg.seed, shuffle=True)
+    index_iter = iter(stream)
+    runners = {}
+
+    def get_runner(c):
+        if c not in runners:
+            runners[c] = make_train_chunk(cfg, tcfg, impl, c)
+        return runners[c]
 
     t0 = time.time()
     t_window_start, window_t0 = t, time.time()
+    logged_epoch = 0
     while t < num_iterations:
-        d_steps_left = tcfg.d_steps
-        g_steps_left = tcfg.g_steps
-        epoch += 1
-        logger.info("Starting epoch %d", epoch)
-        for arrays in _Prefetcher(train_loader):
-            if tcfg.timing:
-                jax.block_until_ready(state.g_params)
-                t1 = time.time()
-            key, sub = jax.random.split(key)
-            if d_steps_left > 0:
-                step_type = "d"
-                state, losses_d = d_step(state, arrays, sub)
-                d_steps_left -= 1
-            elif g_steps_left > 0:
-                step_type = "g"
-                state, losses_g = g_step(state, arrays, sub)
-                g_steps_left -= 1
-            if tcfg.timing:
-                jax.block_until_ready(state.g_params)
-                logger.info("%s step took %.4f", step_type, time.time() - t1)
+        this_chunk = min(chunk, num_iterations - t)
+        idx = np.stack([
+            np.stack([next(index_iter) for _ in range(spi)])
+            for _ in range(this_chunk)])
+        if stream.epoch != logged_epoch:
+            logged_epoch = stream.epoch
+            logger.info("Starting epoch %d", logged_epoch)
 
-            if d_steps_left > 0 or g_steps_left > 0:
-                continue
+        if tcfg.profile_dir and t <= 50 < t + this_chunk:
+            jax.profiler.start_trace(tcfg.profile_dir)
+        if tcfg.timing:
+            jax.block_until_ready(state.g_params)
+            t1 = time.time()
+        key, sub = jax.random.split(key)
+        state, losses = get_runner(this_chunk)(state, data,
+                                               jnp.asarray(idx), sub)
+        if tcfg.timing:
+            jax.block_until_ready(state.g_params)
+            logger.info("chunk of %d iterations took %.4f", this_chunk,
+                        time.time() - t1)
+        if tcfg.profile_dir and t <= 50 < t + this_chunk:
+            jax.block_until_ready(state.g_params)
+            jax.profiler.stop_trace()
+            logger.info("profiler trace written to %s", tcfg.profile_dir)
 
-            # optional profiler window (reference only had --timing wall
-            # clocks, scripts/train.py:281-313; this emits a real XLA trace)
-            if tcfg.profile_dir:
-                if t == 50:
-                    jax.profiler.start_trace(tcfg.profile_dir)
-                elif t == 60:
-                    jax.block_until_ready(state.g_params)
-                    jax.profiler.stop_trace()
-                    logger.info("profiler trace written to %s",
-                                tcfg.profile_dir)
+        # per-iteration grad norms, still on device ([chunk] arrays)
+        if "norm_d" in losses:
+            pending_norm_d.append(losses["norm_d"])
+        if "norm_g" in losses:
+            pending_norm_g.append(losses["norm_g"])
 
-            # end of an iteration: enqueue device scalars, no sync
-            if losses_d:
-                pending_norm_d.append(losses_d.get("norm_d", 0.0))
-            if losses_g:
-                pending_norm_g.append(losses_g.get("norm_g", 0.0))
+        t_prev = t
+        t += this_chunk
 
-            if t % tcfg.print_every == 0:
-                jax.block_until_ready(state.g_params)
-                dt = time.time() - window_t0
-                steps_done = t - t_window_start
-                sps = steps_done / dt if dt > 0 and steps_done else 0.0
-                logger.info("t = %d / %d (%.2f iters/s, %.0f traj/s)",
-                            t + 1, num_iterations, sps,
-                            sps * tcfg.batch_size * train_loader.dense.n_max)
-                t_window_start, window_t0 = t, time.time()
-                drain_norms()
-                for k, v in sorted(losses_d.items()):
-                    if k.startswith("D_"):
-                        logger.info("  [D] %s: %.3f", k, float(v))
-                        ckpt["D_losses"][k].append(float(v))
-                for k, v in sorted(losses_g.items()):
-                    if k.startswith("G_"):
-                        logger.info("  [G] %s: %.3f", k, float(v))
-                        ckpt["G_losses"][k].append(float(v))
-                ckpt["losses_ts"].append(t)
+        if t_prev // tcfg.print_every != t // tcfg.print_every:
+            jax.block_until_ready(state.g_params)
+            dt = time.time() - window_t0
+            steps_done = t - t_window_start
+            sps = steps_done / dt if dt > 0 and steps_done else 0.0
+            logger.info("t = %d / %d (%.2f iters/s, %.0f traj/s)",
+                        t, num_iterations, sps,
+                        sps * tcfg.batch_size * train_loader.dense.n_max)
+            t_window_start, window_t0 = t, time.time()
+            drain_norms()
+            host_losses = {k: float(np.asarray(v)[-1])
+                           for k, v in losses.items()}
+            for k, v in sorted(host_losses.items()):
+                if k.startswith("D_"):
+                    logger.info("  [D] %s: %.3f", k, v)
+                    ckpt["D_losses"][k].append(v)
+                elif k.startswith("G_"):
+                    logger.info("  [G] %s: %.3f", k, v)
+                    ckpt["G_losses"][k].append(v)
+            ckpt["losses_ts"].append(t)
 
-            if t > 0 and t % tcfg.checkpoint_every == 0:
-                drain_norms()
-                ckpt["counters"]["t"] = t
-                ckpt["counters"]["epoch"] = epoch
-                ckpt["sample_ts"].append(t)
-                key, k1, k2 = jax.random.split(key, 3)
-                logger.info("Checking stats on val ...")
-                metrics_val = check_accuracy(tcfg, val_loader, state,
-                                             acc_step, k1)
-                logger.info("Checking stats on train ...")
-                metrics_train = check_accuracy(tcfg, train_loader, state,
-                                               acc_step, k2, limit=True)
-                for k, v in sorted(metrics_val.items()):
-                    logger.info("  [val] %s: %.3f", k, v)
-                    ckpt["metrics_val"][k].append(v)
-                for k, v in sorted(metrics_train.items()):
-                    logger.info("  [train] %s: %.3f", k, v)
-                    ckpt["metrics_train"][k].append(v)
+        if t_prev // tcfg.checkpoint_every != t // tcfg.checkpoint_every:
+            drain_norms()
+            epoch = stream.epoch
+            ckpt["counters"]["t"] = t
+            ckpt["counters"]["epoch"] = epoch
+            ckpt["sample_ts"].append(t)
+            key, k1, k2 = jax.random.split(key, 3)
+            logger.info("Checking stats on val ...")
+            metrics_val = check_accuracy(tcfg, val_loader, state,
+                                         acc_step, k1)
+            logger.info("Checking stats on train ...")
+            metrics_train = check_accuracy(tcfg, train_loader, state,
+                                           acc_step, k2, limit=True)
+            for k, v in sorted(metrics_val.items()):
+                logger.info("  [val] %s: %.3f", k, v)
+                ckpt["metrics_val"][k].append(v)
+            for k, v in sorted(metrics_train.items()):
+                logger.info("  [train] %s: %.3f", k, v)
+                ckpt["metrics_train"][k].append(v)
 
-                min_ade = min(ckpt["metrics_val"]["ade"])
-                min_ade_nl = min(ckpt["metrics_val"]["ade_nl"])
-                ckpt = ckpt_lib.checkpoint_from_state(ckpt, state)
-                if metrics_val["ade"] == min_ade:
-                    logger.info("New low for avg_disp_error")
-                    ckpt["best_t"] = t
-                    ckpt["g_best_state"] = ckpt["g_state"]
-                    ckpt["d_best_state"] = ckpt["d_state"]
-                if metrics_val["ade_nl"] == min_ade_nl:
-                    logger.info("New low for avg_disp_error_nl")
-                    ckpt["best_t_nl"] = t
-                    ckpt["g_best_nl_state"] = ckpt["g_state"]
-                    ckpt["d_best_nl_state"] = ckpt["d_state"]
-                ckpt_lib.save_checkpoint(ckpt, tcfg.output_dir,
-                                         tcfg.checkpoint_name)
-                logger.info("Saved checkpoint to %s", tcfg.output_dir)
-                window_t0, t_window_start = time.time(), t
-
-            t += 1
-            d_steps_left = tcfg.d_steps
-            g_steps_left = tcfg.g_steps
-            if t >= num_iterations:
-                break
+            min_ade = min(ckpt["metrics_val"]["ade"])
+            min_ade_nl = min(ckpt["metrics_val"]["ade_nl"])
+            ckpt = ckpt_lib.checkpoint_from_state(ckpt, state)
+            if metrics_val["ade"] == min_ade:
+                logger.info("New low for avg_disp_error")
+                ckpt["best_t"] = t
+                ckpt["g_best_state"] = ckpt["g_state"]
+                ckpt["d_best_state"] = ckpt["d_state"]
+            if metrics_val["ade_nl"] == min_ade_nl:
+                logger.info("New low for avg_disp_error_nl")
+                ckpt["best_t_nl"] = t
+                ckpt["g_best_nl_state"] = ckpt["g_state"]
+                ckpt["d_best_nl_state"] = ckpt["d_state"]
+            ckpt_lib.save_checkpoint(ckpt, tcfg.output_dir,
+                                     tcfg.checkpoint_name)
+            logger.info("Saved checkpoint to %s", tcfg.output_dir)
+            window_t0, t_window_start = time.time(), t
 
     jax.block_until_ready(state.g_params)
     drain_norms()

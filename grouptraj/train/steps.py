@@ -83,12 +83,11 @@ def _trajs(b, pred_rel_fake):
     return traj_real, traj_real_rel, traj_fake, traj_fake_rel
 
 
-def make_d_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
-                ) -> Callable:
-    """Discriminator step (reference ``train.py:395-429``)."""
+def build_d_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
+                 ) -> Callable:
+    """Discriminator step, unjitted (reference ``train.py:395-429``)."""
     _, d_tx = make_optimizers(tcfg)
 
-    @jax.jit
     def d_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         b = batch
@@ -116,14 +115,18 @@ def make_d_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
     return d_step
 
 
-def make_g_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
+def make_d_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
                 ) -> Callable:
-    """Generator step with vmapped best-of-k variety loss
+    return jax.jit(build_d_step(cfg, tcfg, impl))
+
+
+def build_g_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
+                 ) -> Callable:
+    """Generator step with vmapped best-of-k variety loss, unjitted
     (reference ``train.py:432-484``)."""
     g_tx, _ = make_optimizers(tcfg)
     best_k = tcfg.best_k
 
-    @jax.jit
     def g_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         b = batch
@@ -153,6 +156,54 @@ def make_g_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
         return state._replace(g_params=g_params, g_opt=g_opt), losses
 
     return g_step
+
+
+def make_g_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
+                ) -> Callable:
+    return jax.jit(build_g_step(cfg, tcfg, impl))
+
+
+def make_train_chunk(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan",
+                     chunk: int = 8) -> Callable:
+    """K training iterations per dispatch over a device-resident dataset.
+
+    The returned jitted function takes ``(state, data, idx, key)`` where
+    ``data`` is the :func:`grouptraj.train.device_data.device_dataset` dict
+    and ``idx`` is ``[chunk, d_steps+g_steps, S]`` int32 scene indices — the
+    only per-dispatch host->device traffic. A ``lax.scan`` alternates the
+    reference's d/g schedule; all per-iteration losses come back stacked
+    ``[chunk]`` so logging is unchanged. Semantically identical updates to
+    the unchunked path, minus per-step dispatch/transfer latency (the
+    bottleneck on a tunneled TPU).
+    """
+    from grouptraj.train.device_data import gather_batch
+
+    d_raw = build_d_step(cfg, tcfg, impl)
+    g_raw = build_g_step(cfg, tcfg, impl)
+
+    @jax.jit
+    def run(state: TrainState, data, idx, key: jax.Array):
+        keys = jax.random.split(key, chunk)
+
+        def body(state, xs):
+            bidx, k = xs
+            losses = {}
+            for j in range(tcfg.d_steps):
+                k, sub = jax.random.split(k)
+                b = gather_batch(data, bidx[j], cfg.obs_len)
+                state, ld = d_raw(state, b, sub)
+                losses.update(ld)
+            for j in range(tcfg.g_steps):
+                k, sub = jax.random.split(k)
+                b = gather_batch(data, bidx[tcfg.d_steps + j], cfg.obs_len)
+                state, lg = g_raw(state, b, sub)
+                losses.update(lg)
+            return state, losses
+
+        state, losses = jax.lax.scan(body, state, (idx, keys))
+        return state, losses
+
+    return run
 
 
 def make_check_accuracy_step(cfg: ModelConfig, impl: str = "scan") -> Callable:

@@ -119,6 +119,8 @@ def build_parser(gcn_variant: bool = False) -> argparse.ArgumentParser:
                    help="override the group graph module "
                         "(default: gat for train.py, none for train_GCN.py)")
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--steps_per_dispatch", default=10, type=int,
+                   help="training iterations fused per device dispatch")
     p.add_argument("--n_max", default=0, type=int,
                    help="pad scenes to this many peds (0 = derive)")
     p.add_argument("--use_pallas", default=0, type=bool_flag,
@@ -170,6 +172,7 @@ def configs_from_args(args, gcn_variant: bool = False):
         restore_from_checkpoint=bool(args.restore_from_checkpoint),
         num_samples_check=args.num_samples_check, timing=bool(args.timing),
         profile_dir=args.profile_dir,
-        seed=args.seed, n_max=args.n_max, use_pallas=bool(args.use_pallas),
+        seed=args.seed, steps_per_dispatch=args.steps_per_dispatch,
+        n_max=args.n_max, use_pallas=bool(args.use_pallas),
     )
     return mcfg, tcfg

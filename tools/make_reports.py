@@ -1,0 +1,119 @@
+"""Generate PARITY.md and MODEL_ZOO.md from eval artifacts.
+
+Inputs: PARITY.json (tools/parity_eval.py), runs/<scene>/eval.log
+(scripts/evaluate_model.py output) and runs/<scene>/train.log.
+"""
+
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Published numbers for context (BASELINE.md)
+REFERENCE_RECORDED = {
+    "zara1": (0.42, 0.84),   # reference's own recorded run (GCN, best_k=1)
+}
+UPSTREAM_SGAN_20V20 = {
+    "eth": (0.71, 1.29), "hotel": (0.48, 1.02), "univ": (0.56, 1.18),
+    "zara1": (0.34, 0.69), "zara2": (0.31, 0.64),
+}
+
+
+def parse_eval_log(path):
+    if not os.path.exists(path):
+        return None
+    txt = open(path).read()
+    m = re.search(r"Dataset: (\S+), Pred Len: (\d+), ADE: ([\d.]+), "
+                  r"FDE: ([\d.]+)", txt)
+    if not m:
+        return None
+    return dict(dataset=m.group(1), pred_len=int(m.group(2)),
+                ade=float(m.group(3)), fde=float(m.group(4)))
+
+
+def parse_train_log(path):
+    if not os.path.exists(path):
+        return {}
+    txt = open(path).read()
+    out = {}
+    m = re.findall(r"Training done in ([\d.]+)s", txt)
+    if m:
+        out["train_s"] = float(m[-1])
+    m = re.findall(r"t = (\d+) / (\d+) \(([\d.]+) iters/s", txt)
+    if m:
+        out["iterations"] = int(m[-1][1])
+        rates = [float(x[2]) for x in m if float(x[2]) > 0]
+        if rates:
+            out["iters_per_sec"] = sorted(rates)[len(rates) // 2]
+    return out
+
+
+def main():
+    scenes = ["eth", "hotel", "univ", "zara1", "zara2"]
+    rows = []
+    for s in scenes:
+        ev = parse_eval_log(os.path.join(ROOT, "runs", s, "eval.log"))
+        tr = parse_train_log(os.path.join(ROOT, "runs", s, "train.log"))
+        rows.append((s, ev, tr))
+
+    zoo = ["# MODEL_ZOO — grouptraj models trained from scratch on TPU v5e",
+           "",
+           "Flagship group-GAT configuration (scripts/train.py defaults, "
+           "200 epochs, best-of-20 variety loss), trained on ONE v5e chip "
+           "and evaluated best-of-20 on the leave-one-out test split "
+           "(`--use_best`). Upstream Social-GAN 20V-20 numbers from the "
+           "reference MODEL_ZOO.md for context.",
+           "",
+           "| scene | ADE12 | FDE12 | upstream SGAN 20V-20 | iters | "
+           "train time | iters/s |",
+           "|---|---|---|---|---|---|---|"]
+    for s, ev, tr in rows:
+        if ev is None:
+            zoo.append(f"| {s} | (pending) | | | | | |")
+            continue
+        up = UPSTREAM_SGAN_20V20.get(s, ("", ""))
+        zoo.append(
+            f"| {s} | **{ev['ade']:.2f}** | **{ev['fde']:.2f}** | "
+            f"{up[0]} / {up[1]} | {tr.get('iterations','?')} | "
+            f"{tr.get('train_s',0)/60:.0f} min | "
+            f"{tr.get('iters_per_sec','?')} |")
+    zoo += ["",
+            "Reference's own recorded result (zara1, GCN pooling, best_k=1): "
+            "ADE 0.42 / FDE 0.84 (`evaluate_model.py:129`).",
+            "",
+            "Checkpoints: `models/grouptraj/<scene>_12_with_model.pt` "
+            "(loadable by scripts/evaluate_model.py and importable back "
+            "into PyTorch via the torch-style state_dict inside)."]
+    open(os.path.join(ROOT, "MODEL_ZOO.md"), "w").write("\n".join(zoo) + "\n")
+
+    pj = os.path.join(ROOT, "PARITY.json")
+    if os.path.exists(pj):
+        results = json.load(open(pj))
+        par = ["# PARITY — reference pretrained checkpoints through grouptraj",
+               "",
+               "Every loadable reference checkpoint family, imported by "
+               "`grouptraj.compat` and evaluated best-of-20 on its test "
+               "split by the TPU pipeline. Single-sample val ADEs recorded "
+               "in the checkpoints themselves are ~1.1-1.3 m (BASELINE.md); "
+               "best-of-20 numbers below are the deployable metric.",
+               "",
+               "| family | checkpoint | dataset | graph | pooling | ADE | "
+               "FDE |",
+               "|---|---|---|---|---|---|---|"]
+        for r in results:
+            if "error" in r:
+                par.append(f"| {r.get('family','?')} | {r.get('file','?')} | "
+                           f"- | - | - | ERROR: {r['error'][:60]} | |")
+            else:
+                par.append(
+                    f"| {r['family']} | {r['file']} | {r['dataset']} | "
+                    f"{r['graph_module']} | {r['pooling']} | {r['ade']:.2f} |"
+                    f" {r['fde']:.2f} |")
+        open(os.path.join(ROOT, "PARITY.md"), "w").write("\n".join(par) + "\n")
+    print("reports written")
+
+
+if __name__ == "__main__":
+    main()
