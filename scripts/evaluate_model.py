@@ -38,7 +38,6 @@ def main(args):
     setup_jax_cache()
     import jax
 
-    from grouptraj.config import TrainConfig
     from grouptraj.data import data_loader
     from grouptraj.eval import evaluate
     from grouptraj.train.checkpoint import load_checkpoint
@@ -59,10 +58,17 @@ def main(args):
         cfg, g_params = get_generator(checkpoint, bool(args.use_best))
         ck_args = checkpoint["args"]
         dpath = get_dset_path(ck_args["dataset_name"], args.dset_type)
-        loader_cfg = TrainConfig(
-            batch_size=ck_args.get("batch_size", 64),
-            n_max=ck_args.get("n_max", 0) or 0)
-        _, loader = data_loader(loader_cfg, dpath, shuffle=False)
+
+        class LoaderArgs:   # the loader must use the checkpoint's horizon
+            obs_len = cfg.obs_len
+            pred_len = cfg.pred_len
+            skip = ck_args.get("skip", 1)
+            delim = ck_args.get("delim", "tab")
+            batch_size = ck_args.get("batch_size", 64)
+            n_max = ck_args.get("n_max", 0) or 0
+            seed = 0
+
+        _, loader = data_loader(LoaderArgs, dpath, shuffle=False)
         ade, fde = evaluate(cfg, loader, g_params, args.num_samples,
                             key=jax.random.PRNGKey(args.seed))
         print("Dataset: {}, Pred Len: {}, ADE: {:.2f}, FDE: {:.2f}".format(

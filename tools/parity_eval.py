@@ -37,7 +37,6 @@ def evaluate_checkpoint(path, num_samples, seed=0):
     from grouptraj.compat import (
         config_from_checkpoint_args, import_generator, load_torch_checkpoint,
     )
-    from grouptraj.config import TrainConfig
     from grouptraj.data import data_loader
     from grouptraj.eval import evaluate
     from grouptraj.utils import get_dset_path
@@ -49,7 +48,17 @@ def evaluate_checkpoint(path, num_samples, seed=0):
     params = import_generator(ck["g_state"])
     dset_name = ck["args"]["dataset_name"]
     dpath = get_dset_path(dset_name, "test")
-    _, loader = data_loader(TrainConfig(batch_size=64), dpath, shuffle=False)
+
+    class LoaderArgs:
+        obs_len = cfg.obs_len
+        pred_len = cfg.pred_len
+        skip = ck["args"].get("skip", 1)
+        delim = "tab"
+        batch_size = 64
+        n_max = 0
+        seed = 0
+
+    _, loader = data_loader(LoaderArgs, dpath, shuffle=False)
     t0 = time.time()
     ade, fde = evaluate(cfg, loader, params, num_samples,
                         key=jax.random.PRNGKey(seed))
