@@ -92,3 +92,19 @@ def timeit(msg: str, should_time: bool = True):
 
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def get_device_memory() -> dict:
+    """Per-device memory usage in MB (TPU counterpart of the reference's
+    nvidia-smi probe, sgan/utils.py:61-72)."""
+    out = {}
+    for d in jax.devices():
+        try:
+            stats = d.memory_stats()
+            out[str(d)] = {
+                "bytes_in_use_mb": stats.get("bytes_in_use", 0) / 2**20,
+                "peak_bytes_mb": stats.get("peak_bytes_in_use", 0) / 2**20,
+            }
+        except Exception:
+            out[str(d)] = {}
+    return out
