@@ -83,17 +83,18 @@ def bench_grouptraj(iters: int = 200, batch_size: int = 64,
             np.stack([next(stream) for _ in range(2)])
             for _ in range(chunk)]))
 
-    # warmup/compile
+    # warmup/compile (a host readback is the only reliable sync on the
+    # axon platform — block_until_ready returns early there)
     key, sub = jax.random.split(key)
-    state, _ = run(state, data, next_idx(), sub)
-    jax.block_until_ready(state)
+    state, losses = run(state, data, next_idx(), sub)
+    np.asarray(losses["G_total_loss"])
 
     n_chunks = max(1, iters // chunk)
     t0 = time.time()
     for _ in range(n_chunks):
         key, sub = jax.random.split(key)
-        state, _ = run(state, data, next_idx(), sub)
-    jax.block_until_ready(state)
+        state, losses = run(state, data, next_idx(), sub)
+    np.asarray(losses["G_total_loss"])          # hard sync
     dt = time.time() - t0
     return n_chunks * chunk / dt
 

@@ -200,7 +200,12 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
         t += this_chunk
 
         if t_prev // tcfg.print_every != t // tcfg.print_every:
-            jax.block_until_ready(state.g_params)
+            # host readback first: it is the only reliable device sync on
+            # the axon platform (block_until_ready returns early), so the
+            # rate below reflects completed work
+            drain_norms()
+            host_losses = {k: float(np.asarray(v)[-1])
+                           for k, v in losses.items()}
             dt = time.time() - window_t0
             steps_done = t - t_window_start
             sps = steps_done / dt if dt > 0 and steps_done else 0.0
@@ -208,9 +213,6 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
                         t, num_iterations, sps,
                         sps * tcfg.batch_size * train_loader.dense.n_max)
             t_window_start, window_t0 = t, time.time()
-            drain_norms()
-            host_losses = {k: float(np.asarray(v)[-1])
-                           for k, v in losses.items()}
             for k, v in sorted(host_losses.items()):
                 if k.startswith("D_"):
                     logger.info("  [D] %s: %.3f", k, v)

@@ -41,12 +41,14 @@ def parse_train_log(path):
     m = re.findall(r"Training done in ([\d.]+)s", txt)
     if m:
         out["train_s"] = float(m[-1])
-    m = re.findall(r"t = (\d+) / (\d+) \(([\d.]+) iters/s", txt)
+    m = re.findall(r"t = (\d+) / (\d+)", txt)
     if m:
         out["iterations"] = int(m[-1][1])
-        rates = [float(x[2]) for x in m if float(x[2]) > 0]
-        if rates:
-            out["iters_per_sec"] = sorted(rates)[len(rates) // 2]
+        # honest rate from total wall clock (in-loop window rates were
+        # inflated before the host-readback sync fix)
+        if out.get("train_s"):
+            out["iters_per_sec"] = round(
+                out["iterations"] / out["train_s"], 1)
     return out
 
 
