@@ -32,7 +32,7 @@ from grouptraj.train.steps import (
     _batch_arrays, check_accuracy, init_train_state,
     make_check_accuracy_step, make_train_chunk,
 )
-from grouptraj.utils import get_dset_path, round_up
+from grouptraj.utils import device_sync, get_dset_path, round_up
 
 logger = logging.getLogger(__name__)
 
@@ -176,17 +176,17 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
         if tcfg.profile_dir and t <= 50 < t + this_chunk:
             jax.profiler.start_trace(tcfg.profile_dir)
         if tcfg.timing:
-            jax.block_until_ready(state.g_params)
+            device_sync()
             t1 = time.time()
         key, sub = jax.random.split(key)
         state, losses = get_runner(this_chunk)(state, data,
                                                jnp.asarray(idx), sub)
         if tcfg.timing:
-            jax.block_until_ready(state.g_params)
+            device_sync()
             logger.info("chunk of %d iterations took %.4f", this_chunk,
                         time.time() - t1)
         if tcfg.profile_dir and t <= 50 < t + this_chunk:
-            jax.block_until_ready(state.g_params)
+            device_sync()
             jax.profiler.stop_trace()
             logger.info("profiler trace written to %s", tcfg.profile_dir)
 
@@ -260,7 +260,7 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
             logger.info("Saved checkpoint to %s", tcfg.output_dir)
             window_t0, t_window_start = time.time(), t
 
-    jax.block_until_ready(state.g_params)
+    device_sync()
     drain_norms()
     logger.info("Training done in %.1fs", time.time() - t0)
     ckpt["counters"]["t"] = t

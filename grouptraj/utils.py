@@ -77,16 +77,26 @@ def get_total_norm(tree, norm_type: float = 2.0) -> float:
     return float(total ** (1.0 / norm_type))
 
 
+def device_sync():
+    """Barrier on all queued device work.
+
+    A host readback of a freshly enqueued trivial program: the device
+    executes programs in order, so fetching its result waits for everything
+    already queued. (block_until_ready is NOT sufficient on the axon TPU
+    platform — it returns before execution completes.)"""
+    jax.device_get(jnp.zeros(()) + 0)
+
+
 @contextlib.contextmanager
 def timeit(msg: str, should_time: bool = True):
-    """Wall-clock a block, synchronizing the device (reference sgan/utils.py:48-58
-    used torch.cuda.synchronize; here we block on a trivial computation)."""
+    """Wall-clock a block with device barriers (reference sgan/utils.py:48-58
+    used torch.cuda.synchronize)."""
     if should_time:
-        jax.block_until_ready(jnp.zeros(()))
+        device_sync()
         t0 = time.time()
     yield
     if should_time:
-        jax.block_until_ready(jnp.zeros(()))
+        device_sync()
         print("%s: %.2f ms" % (msg, (time.time() - t0) * 1000.0))
 
 
