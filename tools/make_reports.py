@@ -54,10 +54,15 @@ def parse_train_log(path):
 
 def main():
     scenes = ["eth", "hotel", "univ", "zara1", "zara2"]
+    best = {}
+    best_path = os.path.join(ROOT, "runs", "BEST.json")
+    if os.path.exists(best_path):
+        best = json.load(open(best_path))
     rows = []
     for s in scenes:
-        ev = parse_eval_log(os.path.join(ROOT, "runs", s, "eval.log"))
-        tr = parse_train_log(os.path.join(ROOT, "runs", s, "train.log"))
+        d = os.path.join(ROOT, best.get(s, os.path.join("runs", s)))
+        ev = parse_eval_log(os.path.join(d, "eval.log"))
+        tr = parse_train_log(os.path.join(d, "train.log"))
         rows.append((s, ev, tr))
 
     zoo = ["# MODEL_ZOO — grouptraj models trained from scratch on TPU v5e",
