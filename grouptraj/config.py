@@ -145,9 +145,9 @@ class TrainConfig:
     n_max: int = 0                        # 0 = derive from dataset (rounded up to 8)
     num_devices: int = 0                  # 0 = all visible devices (data parallel)
     # Fused Pallas LSTM kernels. Off by default: at these model sizes the
-    # XLA-compiled lax.scan is measured faster on v5e (662 vs 447 iters/s,
-    # bench.py) because per-timestep grid pipelining overhead dominates the
-    # tiny matmuls; the kernel remains available and tested for larger dims.
+    # XLA-compiled lax.scan is at least as fast on v5e (per-timestep grid
+    # pipelining overhead dominates the tiny matmuls); the kernel remains
+    # available and tested, and wins as hidden sizes grow.
     use_pallas: bool = False
 
 
