@@ -267,6 +267,16 @@ def export_state_dicts(params: dict, kind: str) -> Dict[str, np.ndarray]:
         for i, w in enumerate(p["W"]):
             out[f"{prefix}.W.{i}"] = np.asarray(w)
 
+    def pool_net_keys(prefix, pn):
+        if "mlp_pre_pool" in pn:
+            lin(f"{prefix}.spatial_embedding", pn["spatial_embedding"])
+            mlp(f"{prefix}.mlp_pre_pool", pn["mlp_pre_pool"])
+        else:
+            lin(f"{prefix}.spatial_embedding", pn["spatial_embedding"])
+            gcn(f"{prefix}.gcn_pooling_net_intra", pn["gcn_pooling_net_intra"])
+            gcn(f"{prefix}.gcn_pooling_net_inter", pn["gcn_pooling_net_inter"])
+            lin(f"{prefix}.out_embedding", pn["out_embedding"])
+
     lin("encoder.spatial_embedding", params["encoder"]["spatial_embedding"])
     lstm("encoder.encoder", params["encoder"]["lstm"])
     if kind == "generator":
@@ -274,18 +284,11 @@ def export_state_dicts(params: dict, kind: str) -> Dict[str, np.ndarray]:
             params["decoder"]["spatial_embedding"])
         lstm("decoder.decoder", params["decoder"]["lstm"])
         lin("decoder.hidden2pos", params["decoder"]["hidden2pos"])
+        if "pool_net" in params["decoder"]:
+            pool_net_keys("decoder.pool_net", params["decoder"]["pool_net"])
+            mlp("decoder.mlp", params["decoder"]["mlp"])
         if "pool_net" in params:
-            pn = params["pool_net"]
-            if "mlp_pre_pool" in pn:
-                lin("pool_net.spatial_embedding", pn["spatial_embedding"])
-                mlp("pool_net.mlp_pre_pool", pn["mlp_pre_pool"])
-            else:
-                lin("pool_net.spatial_embedding", pn["spatial_embedding"])
-                gcn("pool_net.gcn_pooling_net_intra",
-                    pn["gcn_pooling_net_intra"])
-                gcn("pool_net.gcn_pooling_net_inter",
-                    pn["gcn_pooling_net_inter"])
-                lin("pool_net.out_embedding", pn["out_embedding"])
+            pool_net_keys("pool_net", params["pool_net"])
         if "gatencoder" in params:
             if "gat_net" in params["gatencoder"]:
                 for i, layer in enumerate(
@@ -308,7 +311,5 @@ def export_state_dicts(params: dict, kind: str) -> Dict[str, np.ndarray]:
     else:
         mlp("real_classifier", params["real_classifier"])
         if "pool_net" in params:
-            lin("pool_net.spatial_embedding",
-                params["pool_net"]["spatial_embedding"])
-            mlp("pool_net.mlp_pre_pool", params["pool_net"]["mlp_pre_pool"])
+            pool_net_keys("pool_net", params["pool_net"])
     return out

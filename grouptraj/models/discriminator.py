@@ -51,15 +51,18 @@ def discriminator_forward(
 ) -> jnp.ndarray:
     """Returns real/fake scores [S, N] (masked entries scored but invalid —
     callers reduce with the validity mask)."""
+    k_pool = k_cls = None
+    if key is not None:
+        k_pool, k_cls = jax.random.split(key)
     final_h = _encode(params["encoder"], traj_rel, impl)      # [S, N, Hd]
     if cfg.d_type == "global":
         start_pos = traj[:, :, 0, :]
         classifier_input = pool_hidden_net(
             params["pool_net"], final_h, start_pos, valid, cfg.activation,
-            cfg.batch_norm, cfg.dropout, key, train)
+            cfg.batch_norm, cfg.dropout, k_pool, train)
     else:
         classifier_input = final_h
     scores = mlp_forward(params["real_classifier"], classifier_input,
-                         cfg.activation, cfg.batch_norm, cfg.dropout, key,
+                         cfg.activation, cfg.batch_norm, cfg.dropout, k_cls,
                          mask=valid, train=train)
     return scores[..., 0]

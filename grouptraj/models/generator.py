@@ -164,11 +164,12 @@ def generator_forward(
             noise_input = gcn_module(params["gcn_module"], ctx, group_end,
                                      valid)
         elif cfg.graph_module == "gat-mh":
+            k_gm, k_ctx = jax.random.split(k_graph)
             gm = gat_encoder_mh(params["gatencoder"], ctx, group_end, valid,
-                                cfg.alpha, cfg.dropout1, k_graph, train)
+                                cfg.alpha, cfg.dropout1, k_gm, train)
             noise_input = mlp_forward(
                 params["mlp_decoder_context"], gm, cfg.activation,
-                cfg.batch_norm, cfg.dropout, k_graph, mask=valid, train=train)
+                cfg.batch_norm, cfg.dropout, k_ctx, mask=valid, train=train)
         elif cfg.mlp_decoder_context:
             noise_input = mlp_forward(
                 params["mlp_decoder_context"], ctx, cfg.activation,
@@ -221,13 +222,14 @@ def _decode(dec: dict, cfg: ModelConfig, h0: jnp.ndarray, last_pos,
         new_rel = linear(dec["hidden2pos"], h)
         new_pos = pos + new_rel
         if cfg.pool_every_timestep:
+            k_p, k_m = jax.random.split(k)
             hs = h.reshape(S, N, H)
             pool_h = _pool(dec["pool_net"], cfg, hs,
                            new_pos.reshape(S, N, 2), group_end, valid,
-                           "decoder", k, train)
+                           "decoder", k_p, train)
             mixed = mlp_forward(
                 dec["mlp"], jnp.concatenate([hs, pool_h], axis=-1),
-                cfg.activation, cfg.batch_norm, cfg.dropout, k,
+                cfg.activation, cfg.batch_norm, cfg.dropout, k_m,
                 mask=valid, train=train)
             h = mixed.reshape(S * N, H)
         return (h, c, new_pos, new_rel), new_rel

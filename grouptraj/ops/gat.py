@@ -84,14 +84,13 @@ def gat(params: dict, x: jnp.ndarray, adj_mask: jnp.ndarray,
     """Full GAT module (reference ``models.py:222-237``): input dropout,
     multi-head concat, attention dropout, out layer, ELU, feature log_softmax.
     """
+    k_mid = k_out = None
     if dropout > 0 and train:
         if key is None:
             raise ValueError("dropout requires a PRNG key")
-        key, k_in, k_mid = jax.random.split(key, 3)
+        key, k_in, k_mid, k_out = jax.random.split(key, 4)
         keep = jax.random.bernoulli(k_in, 1.0 - dropout, x.shape)
         x = jnp.where(keep, x / (1.0 - dropout), 0.0)
-    else:
-        k_mid = None
     head_keys = (jax.random.split(key, len(params["attentions"]))
                  if (dropout > 0 and train) else
                  [None] * len(params["attentions"]))
@@ -102,7 +101,7 @@ def gat(params: dict, x: jnp.ndarray, adj_mask: jnp.ndarray,
         keep = jax.random.bernoulli(k_mid, 1.0 - dropout, x.shape)
         x = jnp.where(keep, x / (1.0 - dropout), 0.0)
     x = jax.nn.elu(gat_layer(params["out_att"], x, adj_mask, alpha, False,
-                             dropout, None, train))
+                             dropout, k_out, train))
     return jax.nn.log_softmax(x, axis=-1)
 
 

@@ -21,47 +21,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import queue
-import threading
-
 from grouptraj.config import ModelConfig, TrainConfig
 from grouptraj.data import DenseDataset, DenseLoader, TrajectoryDataset
 from grouptraj.train import checkpoint as ckpt_lib
 from grouptraj.train.device_data import IndexStream, device_dataset
 from grouptraj.train.steps import (
-    _batch_arrays, check_accuracy, init_train_state,
+    check_accuracy, init_train_state,
     make_check_accuracy_step, make_train_chunk,
 )
 from grouptraj.utils import device_sync, get_dset_path, round_up
 
 logger = logging.getLogger(__name__)
-
-
-class _Prefetcher:
-    """Background thread converting+transferring batches ahead of the step.
-
-    ``jax.device_put`` is async, but the numpy slicing + transfer enqueue
-    still costs ~15 ms/batch on the host; overlapping it with device compute
-    keeps the device queue full. Depth 2 bounds host memory.
-    """
-
-    def __init__(self, loader, depth: int = 2):
-        self._loader = loader
-        self._q: queue.Queue = queue.Queue(maxsize=depth)
-        self._thread = threading.Thread(target=self._run, daemon=True)
-        self._thread.start()
-
-    def _run(self):
-        for batch in self._loader:
-            self._q.put(_batch_arrays(batch))
-        self._q.put(None)
-
-    def __iter__(self):
-        while True:
-            item = self._q.get()
-            if item is None:
-                return
-            yield item
 
 
 def build_loaders(cfg: ModelConfig, tcfg: TrainConfig):

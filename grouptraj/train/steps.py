@@ -91,7 +91,7 @@ def build_d_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
     def d_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         b = batch
-        k_gen, k_label = jax.random.split(key)
+        k_gen, k_label, k_df, k_dr = jax.random.split(key, 4)
         pred_rel_fake = generator_forward(
             state.g_params, cfg, b["obs"], b["obs_rel"], b["group"],
             b["valid"], k_gen, impl=impl)
@@ -99,9 +99,9 @@ def build_d_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
 
         def loss_fn(d_params):
             scores_fake = discriminator_forward(d_params, cfg, tf, tfr,
-                                                b["valid"], impl=impl)
+                                                b["valid"], k_df, impl=impl)
             scores_real = discriminator_forward(d_params, cfg, tr, trr,
-                                                b["valid"], impl=impl)
+                                                b["valid"], k_dr, impl=impl)
             return L.gan_d_loss(scores_real, scores_fake, k_label,
                                 b["valid"])
 
@@ -130,7 +130,7 @@ def build_g_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
     def g_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         b = batch
-        k_label, k_samples = jax.random.split(key)
+        k_label, k_samples, k_disc = jax.random.split(key, 3)
         sample_keys = jax.random.split(k_samples, best_k)
         pred_loss_mask = b["loss_mask"][..., cfg.obs_len:]
 
@@ -143,7 +143,7 @@ def build_g_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
                 tcfg.l2_loss_weight) if tcfg.l2_loss_weight > 0 else 0.0
             _, _, tf, tfr = _trajs(b, preds[-1])
             scores_fake = discriminator_forward(
-                state.d_params, cfg, tf, tfr, b["valid"], impl=impl)
+                state.d_params, cfg, tf, tfr, b["valid"], k_disc, impl=impl)
             adv = L.gan_g_loss(scores_fake, k_label, b["valid"])
             return variety + adv, (variety, adv)
 

@@ -190,3 +190,50 @@ def test_discriminator_global_padding_invariance():
                                                   1))
     assert np.allclose(np.asarray(s_small), np.asarray(s_pad[:, :3]),
                        atol=1e-5)
+
+
+def test_pool_every_timestep_checkpoint_roundtrip():
+    """Decoder pool_net/mlp params survive export->import (review finding:
+    they were silently dropped, losing trained weights)."""
+    from grouptraj.compat.torch_import import (
+        export_state_dicts, import_generator,
+    )
+
+    cfg = dataclasses.replace(MODEL_PRESETS["gat"], pool_every_timestep=True)
+    params = init_generator(KEY, cfg)
+    sd = export_state_dicts(params, "generator")
+    assert "decoder.pool_net.spatial_embedding.weight" in sd
+    assert "decoder.mlp.0.weight" in sd
+    restored = import_generator(sd)
+    assert "pool_net" in restored["decoder"]
+    obs, obs_rel, group, valid = _fake_batch()
+    a = generator_forward(params, cfg, obs, obs_rel, group, valid,
+                          jax.random.PRNGKey(1))
+    b = generator_forward(restored, cfg, obs, obs_rel, group, valid,
+                          jax.random.PRNGKey(1))
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_dropout_paths_train():
+    """dropout/dropout1 > 0 runs (review finding: the GAT out-attention
+    layer raised for want of a key) and is deterministic given the key."""
+    cfg = dataclasses.replace(MODEL_PRESETS["gat"], dropout=0.2, dropout1=0.2)
+    params = init_generator(KEY, cfg)
+    obs, obs_rel, group, valid = _fake_batch()
+    a = generator_forward(params, cfg, obs, obs_rel, group, valid,
+                          jax.random.PRNGKey(1), train=True)
+    b = generator_forward(params, cfg, obs, obs_rel, group, valid,
+                          jax.random.PRNGKey(1), train=True)
+    assert np.isfinite(np.asarray(a)).all()
+    assert np.allclose(np.asarray(a), np.asarray(b))
+    from grouptraj.models import init_discriminator
+
+    dparams = init_discriminator(KEY, cfg)
+    traj = jnp.concatenate([obs, obs], axis=2)[:, :, :20]
+    pad = 20 - traj.shape[2]
+    if pad:
+        traj = jnp.concatenate(
+            [traj, jnp.zeros(traj.shape[:2] + (pad, 2))], axis=2)
+    s = discriminator_forward(dparams, cfg, traj, traj, valid,
+                              jax.random.PRNGKey(2), train=True)
+    assert np.isfinite(np.asarray(s)).all()
