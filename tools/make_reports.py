@@ -89,6 +89,8 @@ def main():
     # variant configurations
     variants = [
         ("gcn_zara1", "GCNPooling (train_GCN.py config: best_k=1, d_steps=2)"),
+        ("gcn20_zara1", "GCNPooling + best-of-20 variety loss (impossible in "
+                        "the reference)"),
         ("gatmh_univ", "gat-mh (sgangat-g-p style: multi-head group GAT)"),
         ("univ400", "flagship GAT, 500 epochs"),
     ]
@@ -106,7 +108,13 @@ def main():
                 "The gat-mh (multi-head group GAT) variant beats both the "
                 "flagship and the reference's own univ checkpoint (0.62/1.28)"
                 " on univ; shipped as "
-                "`models/grouptraj/univ_12_gatmh_with_model.pt`."]
+                "`models/grouptraj/univ_12_gatmh_with_model.pt`. "
+                "GCNPooling with the full best-of-20 variety loss — a "
+                "combination the reference cannot train (its train_GCN.py "
+                "crashes; its recorded GCN run used best_k=1) — reaches "
+                "0.39/0.76 on zara1, beating the reference's recorded "
+                "0.42/0.84; shipped as "
+                "`models/grouptraj/zara1_12_gcnpool_with_model.pt`."]
     zoo += ["",
             "Reference's own recorded result (zara1, GCN pooling, best_k=1): "
             "ADE 0.42 / FDE 0.84 (`evaluate_model.py:129`).",
