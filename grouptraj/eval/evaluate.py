@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from grouptraj import losses as L
 from grouptraj.config import ModelConfig
 from grouptraj.models import generator_forward
+from grouptraj.models.generator import generator_context, generator_sample
 from grouptraj.utils import relative_to_abs
 
 
@@ -24,8 +25,12 @@ def make_eval_step(cfg: ModelConfig, num_samples: int, impl: str = "scan"):
     @jax.jit
     def step(g_params, obs, obs_rel, group, valid, pred_gt, key):
         keys = jax.random.split(key, num_samples)
-        preds = jax.vmap(lambda k: generator_forward(
-            g_params, cfg, obs, obs_rel, group, valid, k, train=False,
+        # eval runs train=False: the context phase is deterministic, so
+        # compute it once and vmap only the noise+decode phase
+        ctx = generator_context(g_params, cfg, obs, obs_rel, group, valid,
+                                keys[0], train=False, impl=impl)
+        preds = jax.vmap(lambda k: generator_sample(
+            g_params, cfg, ctx, obs, obs_rel, group, valid, k, train=False,
             impl=impl))(keys)                              # [K, S, N, Tp, 2]
         pred_abs = relative_to_abs(preds, obs[:, :, -1, :][None])
         ade_raw = L.displacement_error(pred_abs, pred_gt[None],

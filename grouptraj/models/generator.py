@@ -120,7 +120,7 @@ def _pool(params: dict, cfg: ModelConfig, h, end_pos, labels, valid,
     raise ValueError(cfg.pooling_type)
 
 
-def generator_forward(
+def generator_context(
     params: dict,
     cfg: ModelConfig,
     obs: jnp.ndarray,          # [S, N, To, 2] absolute
@@ -128,23 +128,18 @@ def generator_forward(
     group_end: jnp.ndarray,    # [S, N] group label at t_obs
     valid: jnp.ndarray,        # [S, N]
     key: Optional[jax.Array] = None,
-    user_noise: Optional[jnp.ndarray] = None,
     train: bool = True,
     impl: str = "scan",
 ) -> jnp.ndarray:
-    """One stochastic forward pass -> pred_traj_rel [S, N, Tp, 2].
-
-    Mirrors reference ``TrajectoryGenerator.forward`` (models.py:862-927):
-    encode rel obs → pool on end positions → graph module on (h ‖ pool) with
-    the group labels → concat per-scene noise → decode autoregressively.
-    """
-    S, N = valid.shape
-    end_pos = obs[:, :, -1, :]
-    last_pos_rel = obs_rel[:, :, -1, :]
-
+    """Deterministic-given-inputs context phase: encoder → pooling → graph
+    module → noise_input [S, N, decoder_h − noise]. Everything before the
+    noise concat; with dropout off (the reference default) it is identical
+    across best-of-k samples, so callers compute it ONCE and vmap only
+    :func:`generator_sample` over noise keys."""
     if key is None:
         key = jax.random.PRNGKey(0)
-    k_noise, k_pool, k_graph, k_dec = jax.random.split(key, 4)
+    _, k_pool, k_graph, _ = jax.random.split(key, 4)
+    end_pos = obs[:, :, -1, :]
 
     final_h = _encode(params["encoder"], obs_rel, impl)       # [S, N, He]
 
@@ -178,6 +173,28 @@ def generator_forward(
             noise_input = ctx
     else:
         noise_input = ctx
+    return noise_input
+
+
+def generator_sample(
+    params: dict,
+    cfg: ModelConfig,
+    noise_input: jnp.ndarray,  # [S, N, decoder_h − noise] from generator_context
+    obs: jnp.ndarray,
+    obs_rel: jnp.ndarray,
+    group_end: jnp.ndarray,
+    valid: jnp.ndarray,
+    key: jax.Array,
+    user_noise: Optional[jnp.ndarray] = None,
+    train: bool = True,
+    impl: str = "scan",
+) -> jnp.ndarray:
+    """Stochastic phase: noise concat + autoregressive decode. vmap this
+    over sample keys for best-of-k with a shared context."""
+    S, N = valid.shape
+    end_pos = obs[:, :, -1, :]
+    last_pos_rel = obs_rel[:, :, -1, :]
+    k_noise, _, _, k_dec = jax.random.split(key, 4)
 
     # Noise (reference add_noise, models.py:814-850): 'global' draws one
     # vector per scene, repeated across its peds; 'ped' draws one per ped.
@@ -198,6 +215,34 @@ def generator_forward(
 
     return _decode(params["decoder"], cfg, decoder_h, end_pos, last_pos_rel,
                    group_end, valid, k_dec, train, impl)
+
+
+def generator_forward(
+    params: dict,
+    cfg: ModelConfig,
+    obs: jnp.ndarray,          # [S, N, To, 2] absolute
+    obs_rel: jnp.ndarray,      # [S, N, To, 2]
+    group_end: jnp.ndarray,    # [S, N] group label at t_obs
+    valid: jnp.ndarray,        # [S, N]
+    key: Optional[jax.Array] = None,
+    user_noise: Optional[jnp.ndarray] = None,
+    train: bool = True,
+    impl: str = "scan",
+) -> jnp.ndarray:
+    """One stochastic forward pass -> pred_traj_rel [S, N, Tp, 2].
+
+    Mirrors reference ``TrajectoryGenerator.forward`` (models.py:862-927):
+    encode rel obs → pool on end positions → graph module on (h ‖ pool) with
+    the group labels → concat per-scene noise → decode autoregressively.
+    Composed from :func:`generator_context` + :func:`generator_sample` (the
+    same key drives both, preserving the original key-split layout).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    noise_input = generator_context(params, cfg, obs, obs_rel, group_end,
+                                    valid, key, train, impl)
+    return generator_sample(params, cfg, noise_input, obs, obs_rel,
+                            group_end, valid, key, user_noise, train, impl)
 
 
 def _decode(dec: dict, cfg: ModelConfig, h0: jnp.ndarray, last_pos,

@@ -29,6 +29,7 @@ from grouptraj.models import (
     discriminator_forward, generator_forward, init_discriminator,
     init_generator,
 )
+from grouptraj.models.generator import generator_context, generator_sample
 from grouptraj.utils import relative_to_abs
 
 
@@ -91,17 +92,33 @@ def build_d_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
     def d_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         b = batch
-        k_gen, k_label, k_df, k_dr = jax.random.split(key, 4)
+        k_gen, k_label, k_disc = jax.random.split(key, 3)
         pred_rel_fake = generator_forward(
             state.g_params, cfg, b["obs"], b["obs_rel"], b["group"],
             b["valid"], k_gen, impl=impl)
         tr, trr, tf, tfr = _trajs(b, pred_rel_fake)
+        S = b["valid"].shape[0]
+        # real and fake scored in ONE stacked forward: halves the
+        # discriminator's sequential depth in both forward and backward
+        # (scenes are independent rows; only batch-stat BN would couple
+        # them, so that config falls back to two calls)
+        stack = not cfg.batch_norm
+        if stack:
+            tb = jnp.concatenate([tr, tf], axis=0)
+            tbr = jnp.concatenate([trr, tfr], axis=0)
+            vb = jnp.concatenate([b["valid"], b["valid"]], axis=0)
 
         def loss_fn(d_params):
-            scores_fake = discriminator_forward(d_params, cfg, tf, tfr,
-                                                b["valid"], k_df, impl=impl)
-            scores_real = discriminator_forward(d_params, cfg, tr, trr,
-                                                b["valid"], k_dr, impl=impl)
+            if stack:
+                scores = discriminator_forward(d_params, cfg, tb, tbr, vb,
+                                               k_disc, impl=impl)
+                scores_real, scores_fake = scores[:S], scores[S:]
+            else:
+                k_df, k_dr = jax.random.split(k_disc)
+                scores_fake = discriminator_forward(
+                    d_params, cfg, tf, tfr, b["valid"], k_df, impl=impl)
+                scores_real = discriminator_forward(
+                    d_params, cfg, tr, trr, b["valid"], k_dr, impl=impl)
             return L.gan_d_loss(scores_real, scores_fake, k_label,
                                 b["valid"])
 
@@ -134,10 +151,23 @@ def build_g_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
         sample_keys = jax.random.split(k_samples, best_k)
         pred_loss_mask = b["loss_mask"][..., cfg.obs_len:]
 
+        # With dropout off (the reference default), everything before the
+        # noise concat is identical across the k samples: compute the
+        # context once and vmap only the noise+decode phase.
+        share_ctx = cfg.dropout == 0 and cfg.dropout1 == 0
+
         def loss_fn(g_params):
-            preds = jax.vmap(lambda k: generator_forward(
-                g_params, cfg, b["obs"], b["obs_rel"], b["group"],
-                b["valid"], k, impl=impl))(sample_keys)     # [K, S, N, Tp, 2]
+            if share_ctx:
+                ctx = generator_context(
+                    g_params, cfg, b["obs"], b["obs_rel"], b["group"],
+                    b["valid"], sample_keys[0], impl=impl)
+                preds = jax.vmap(lambda k: generator_sample(
+                    g_params, cfg, ctx, b["obs"], b["obs_rel"], b["group"],
+                    b["valid"], k, impl=impl))(sample_keys)
+            else:
+                preds = jax.vmap(lambda k: generator_forward(
+                    g_params, cfg, b["obs"], b["obs_rel"], b["group"],
+                    b["valid"], k, impl=impl))(sample_keys)  # [K,S,N,Tp,2]
             variety = L.variety_l2_loss(
                 preds, b["pred_rel"], pred_loss_mask, b["valid"],
                 tcfg.l2_loss_weight) if tcfg.l2_loss_weight > 0 else 0.0
