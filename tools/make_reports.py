@@ -91,7 +91,7 @@ def main():
         ("gcn_zara1", "GCNPooling (train_GCN.py config: best_k=1, d_steps=2)"),
         ("gcn20_zara1", "GCNPooling + best-of-20 variety loss (impossible in "
                         "the reference)"),
-        ("gatmh_univ", "gat-mh (sgangat-g-p style: multi-head group GAT)"),
+        ("gatmh_univ_s5", "gat-mh (sgangat-g-p style: multi-head group GAT)"),
         ("univ400", "flagship GAT, 500 epochs"),
     ]
     vrows = []
@@ -106,8 +106,8 @@ def main():
         zoo += vrows
         zoo += ["",
                 "The gat-mh (multi-head group GAT) variant beats both the "
-                "flagship and the reference's own univ checkpoint (0.62/1.28)"
-                " on univ; shipped as "
+                "flagship (0.67/1.31) and the reference's own univ checkpoint "
+                "(0.62/1.28) on univ, matching upstream (0.56/1.18); shipped as "
                 "`models/grouptraj/univ_12_gatmh_with_model.pt`. "
                 "GCNPooling with the full best-of-20 variety loss — a "
                 "combination the reference cannot train (its train_GCN.py "
