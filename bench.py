@@ -29,6 +29,8 @@ def bench_grouptraj(iters: int = 200, batch_size: int = 64,
     """Measures the production training path: device-resident dataset,
     chunked dispatch (10 iterations per lax.scan dispatch), zara1, d+g
     alternation with best-of-20 variety loss."""
+    from scripts._common import setup_jax_cache
+    setup_jax_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np
