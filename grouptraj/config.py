@@ -143,7 +143,12 @@ class TrainConfig:
     # dominant cost on a tunneled TPU; semantics are identical.
     steps_per_dispatch: int = 10
     n_max: int = 0                        # 0 = derive from dataset (rounded up to 8)
-    num_devices: int = 0                  # 0 = all visible devices (data parallel)
+    # Data parallelism over scenes: 1 = single device (default), 0 = all
+    # visible devices, N = first N devices. When >1 the training loop builds
+    # a 1-D mesh, replicates params + the device-resident dataset, and shards
+    # every batch's scene axis; GSPMD inserts the gradient all-reduce
+    # (psum over ICI on a TPU slice). batch_size must divide evenly.
+    num_devices: int = 1
     # Fused Pallas LSTM kernels. Off by default: at these model sizes the
     # XLA-compiled lax.scan is at least as fast on v5e (per-timestep grid
     # pipelining overhead dominates the tiny matmuls); the kernel remains

@@ -21,8 +21,14 @@ import numpy as np
 from grouptraj.data.batching import DenseDataset
 
 
-def device_dataset(dense: DenseDataset, obs_len: int) -> Dict[str, jnp.ndarray]:
-    """Upload a DenseDataset to the default device (+ null scene)."""
+def device_dataset(dense: DenseDataset, obs_len: int,
+                   sharding=None) -> Dict[str, jnp.ndarray]:
+    """Upload a DenseDataset to the default device (+ null scene).
+
+    ``sharding`` places the dataset on a mesh (replicated for the
+    data-parallel trainer: the dataset is tiny, the batch gather's scene
+    indices carry the sharding instead).
+    """
     pad1 = lambda a: np.concatenate(
         [a, np.zeros((1,) + a.shape[1:], a.dtype)], axis=0)
     data = {
@@ -33,6 +39,8 @@ def device_dataset(dense: DenseDataset, obs_len: int) -> Dict[str, jnp.ndarray]:
         "non_linear": pad1(dense.non_linear),
         "valid": pad1(dense.valid),
     }
+    if sharding is not None:
+        return jax.device_put(data, sharding)
     return jax.device_put(data)
 
 

@@ -61,6 +61,34 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
                         jax.default_backend() == "tpu") else "scan"
     train_dset, train_loader, val_loader = build_loaders(cfg, tcfg)
 
+    # ---- data parallelism over scenes (SURVEY.md §2.7): num_devices > 1
+    # builds a 1-D mesh; params/optimizer/dataset replicated, every batch's
+    # scene axis sharded (via the dispatch's scene-index arrays), GSPMD
+    # inserts the gradient all-reduce.
+    n_dev = tcfg.num_devices if tcfg.num_devices > 0 else len(jax.devices())
+    mesh = None
+    batch_shard = None     # per-batch scene-axis sharding (eval loaders)
+    idx_shard = None       # [chunk, spi, S] scene-index sharding (train)
+    data_sharding = None   # replicated dataset
+    if n_dev > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from grouptraj.parallel.mesh import (
+            DATA_AXIS, batch_sharding, make_mesh, replicated_sharding,
+        )
+        if len(jax.devices()) < n_dev:
+            raise ValueError(
+                f"num_devices={n_dev} but only {len(jax.devices())} visible")
+        if tcfg.batch_size % n_dev:
+            raise ValueError(
+                f"batch_size={tcfg.batch_size} must divide num_devices={n_dev}")
+        mesh = make_mesh(n_dev)
+        batch_shard = batch_sharding(mesh)
+        idx_shard = NamedSharding(mesh, P(None, None, DATA_AXIS))
+        data_sharding = replicated_sharding(mesh)
+        logger.info("Data-parallel over %d devices (%s)", n_dev,
+                    mesh.devices[0].platform)
+
     iterations_per_epoch = len(train_dset) / tcfg.batch_size / tcfg.d_steps
     num_iterations = tcfg.num_iterations
     if tcfg.num_epochs:
@@ -72,6 +100,9 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
     key = jax.random.PRNGKey(tcfg.seed)
     key, k_init = jax.random.split(key)
     state = init_train_state(k_init, cfg, tcfg)
+    if mesh is not None:
+        from grouptraj.parallel.mesh import replicate_state
+        state = replicate_state(state, mesh)
 
     if args_snapshot is None:
         args_snapshot = {**dataclasses.asdict(cfg), **dataclasses.asdict(tcfg)}
@@ -89,6 +120,9 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
     if ckpt is not None and ckpt.get("g_state") is not None:
         logger.info("Restoring from checkpoint %s", restore_path)
         state = ckpt_lib.state_from_checkpoint(ckpt, cfg, tcfg)
+        if mesh is not None:
+            from grouptraj.parallel.mesh import replicate_state
+            state = replicate_state(state, mesh)
         t = ckpt["counters"]["t"] or 0
         epoch = ckpt["counters"]["epoch"] or 0
         ckpt["restore_ts"].append(t)
@@ -120,7 +154,8 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
     # `chunk` full iterations under one lax.scan (see train/device_data.py).
     spi = tcfg.d_steps + tcfg.g_steps
     chunk = max(1, tcfg.steps_per_dispatch)
-    data = device_dataset(train_loader.dense, cfg.obs_len)
+    data = device_dataset(train_loader.dense, cfg.obs_len,
+                          sharding=data_sharding)
     stream = IndexStream(train_loader.dense.num_seq, tcfg.batch_size,
                          seed=tcfg.seed, shuffle=True)
     index_iter = iter(stream)
@@ -149,8 +184,9 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
             device_sync()
             t1 = time.time()
         key, sub = jax.random.split(key)
-        state, losses = get_runner(this_chunk)(state, data,
-                                               jnp.asarray(idx), sub)
+        idx_dev = (jax.device_put(idx, idx_shard) if idx_shard is not None
+                   else jnp.asarray(idx))
+        state, losses = get_runner(this_chunk)(state, data, idx_dev, sub)
         if tcfg.timing:
             device_sync()
             logger.info("chunk of %d iterations took %.4f", this_chunk,
@@ -201,10 +237,12 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
             key, k1, k2 = jax.random.split(key, 3)
             logger.info("Checking stats on val ...")
             metrics_val = check_accuracy(tcfg, val_loader, state,
-                                         acc_step, k1)
+                                         acc_step, k1,
+                                         batch_sharding=batch_shard)
             logger.info("Checking stats on train ...")
             metrics_train = check_accuracy(tcfg, train_loader, state,
-                                           acc_step, k2, limit=True)
+                                           acc_step, k2, limit=True,
+                                           batch_sharding=batch_shard)
             for k, v in sorted(metrics_val.items()):
                 logger.info("  [val] %s: %.3f", k, v)
                 ckpt["metrics_val"][k].append(v)

@@ -290,26 +290,40 @@ def make_check_accuracy_step(cfg: ModelConfig, impl: str = "scan") -> Callable:
 
 
 def check_accuracy(args, loader, state: TrainState, step_fn, key: jax.Array,
-                   limit: bool = False) -> Dict[str, float]:
+                   limit: bool = False, batch_sharding=None
+                   ) -> Dict[str, float]:
     """Accumulate val/train metrics over a loader (reference
     ``train.py:487-568`` — d_loss averaged per batch, the rest sample-summed
-    then normalized; ADE = Σ/(total_traj·pred_len), FDE = Σ/total_traj)."""
-    sums: Dict[str, float] = {}
-    d_losses = []
+    then normalized; ADE = Σ/(total_traj·pred_len), FDE = Σ/total_traj).
+
+    Device-side accumulation: per-batch sums stay on device and are added
+    into one running pytree; the host reads back ONCE per loader pass. (A
+    ``float()`` per metric per batch is a host<->device round-trip each — on
+    a tunneled TPU that serialized the whole eval.) The limit check uses the
+    host-resident ``batch.valid`` so it costs no sync either.
+    """
+    acc = None
+    n_batches = 0
+    seen_traj = 0.0
     for batch in loader:
         key, sub = jax.random.split(key)
-        out = step_fn(state, _batch_arrays(batch), sub)
-        out = {k: float(v) for k, v in out.items()}
-        d_losses.append(out.pop("d_loss"))
-        for k, v in out.items():
-            sums[k] = sums.get(k, 0.0) + v
-        if limit and sums["total_traj"] >= args.num_samples_check:
+        arrays = _batch_arrays(batch)
+        if batch_sharding is not None:
+            arrays = jax.device_put(arrays, batch_sharding)
+        out = step_fn(state, arrays, sub)
+        acc = out if acc is None else jax.tree_util.tree_map(
+            jnp.add, acc, out)
+        n_batches += 1
+        seen_traj += float(batch.valid.sum())
+        if limit and seen_traj >= args.num_samples_check:
             break
+    sums = {k: float(v) for k, v in jax.device_get(acc).items()}
+    d_loss_mean = sums.pop("d_loss") / max(n_batches, 1)
     pred_len = loader.dense.pred_len
     tt, tl, tnl = (sums["total_traj"], sums["total_traj_l"],
                    sums["total_traj_nl"])
     metrics = {
-        "d_loss": sum(d_losses) / max(len(d_losses), 1),
+        "d_loss": d_loss_mean,
         "g_l2_loss_abs": sums["g_l2_loss_abs"] / max(sums["loss_mask_sum"], 1),
         "g_l2_loss_rel": sums["g_l2_loss_rel"] / max(sums["loss_mask_sum"], 1),
         "ade": sums["disp_error"] / max(tt * pred_len, 1),

@@ -125,6 +125,10 @@ def build_parser(gcn_variant: bool = False) -> argparse.ArgumentParser:
                    help="pad scenes to this many peds (0 = derive)")
     p.add_argument("--use_pallas", default=0, type=bool_flag,
                    help="fused Pallas LSTM kernels on TPU")
+    p.add_argument("--num_devices", default=1, type=int,
+                   help="data-parallel devices: 1 = single (default), "
+                        "0 = all visible, N = first N; batch_size must "
+                        "divide evenly")
     p.add_argument("--profile_dir", default="", type=str,
                    help="emit a jax.profiler trace of iterations 50-60")
     return p
@@ -174,5 +178,6 @@ def configs_from_args(args, gcn_variant: bool = False):
         profile_dir=args.profile_dir,
         seed=args.seed, steps_per_dispatch=args.steps_per_dispatch,
         n_max=args.n_max, use_pallas=bool(args.use_pallas),
+        num_devices=args.num_devices,
     )
     return mcfg, tcfg

@@ -62,6 +62,65 @@ def test_data_parallel_matches_single_device():
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.fixture
+def data_root(tmp_path, monkeypatch):
+    """GROUPTRAJ_DATA_DIR with tiny train/val splits for a fake scene."""
+    rng = np.random.default_rng(0)
+    for split, nframes in (("train", 40), ("val", 25)):
+        d = tmp_path / "toy" / split
+        d.mkdir(parents=True)
+        rows = []
+        for t in range(nframes):
+            for p in (1, 2, 3, 4):
+                x = 0.1 * t + p + 0.01 * rng.standard_normal()
+                y = 0.05 * t - p
+                rows.append(f"{t*10.0}\t{p}.0\t{x:.4f}\t{y:.4f}\t{p % 2}.0")
+        (d / "toy.txt").write_text("\n".join(rows) + "\n")
+    monkeypatch.setenv("GROUPTRAJ_DATA_DIR", str(tmp_path))
+    return tmp_path
+
+
+def test_train_loop_data_parallel_matches_single_device(data_root, tmp_path):
+    """The PRODUCTION train() path (device-resident dataset, chunked
+    lax.scan dispatch) on an 8-device mesh produces the same losses and
+    final params as single-device — DP is a sharding annotation, not a
+    different computation."""
+    from grouptraj.train.loop import train
+
+    def run(num_devices, out):
+        tcfg = TrainConfig(dataset_name="toy", batch_size=8, num_epochs=0,
+                           num_iterations=4, checkpoint_every=3,
+                           print_every=1, best_k=2, seed=3,
+                           output_dir=str(tmp_path / out),
+                           num_devices=num_devices, steps_per_dispatch=2)
+        return train(ModelConfig(), tcfg)
+
+    c1 = run(1, "dp1")
+    c8 = run(8, "dp8")
+    for k in c1["G_losses"]:
+        np.testing.assert_allclose(c1["G_losses"][k], c8["G_losses"][k],
+                                   atol=2e-3)
+    for k in c1["D_losses"]:
+        np.testing.assert_allclose(c1["D_losses"][k], c8["D_losses"][k],
+                                   atol=2e-3)
+    for name in c1["g_state"]:
+        np.testing.assert_allclose(c1["g_state"][name], c8["g_state"][name],
+                                   atol=1e-3)
+    # val metrics path (sharded check_accuracy) agrees too
+    assert np.isclose(c1["metrics_val"]["ade"][-1],
+                      c8["metrics_val"]["ade"][-1], atol=1e-3)
+
+
+def test_train_loop_rejects_indivisible_batch(data_root, tmp_path):
+    from grouptraj.train.loop import train
+
+    tcfg = TrainConfig(dataset_name="toy", batch_size=6, num_iterations=1,
+                       num_epochs=0, num_devices=8,
+                       output_dir=str(tmp_path / "bad"))
+    with pytest.raises(ValueError, match="divide"):
+        train(ModelConfig(), tcfg)
+
+
 def test_uneven_shard_raises():
     mesh = make_mesh(8)
     batch = synthetic_batch(6, 4)   # 6 scenes not divisible by 8
