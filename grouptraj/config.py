@@ -56,6 +56,18 @@ class ModelConfig:
     # train.py:166-170, with the checkpoints' head counts)
     mh_n_units: Tuple[int, ...] = (40, 16, 40)
     mh_n_heads: Tuple[int, ...] = (4, 1)
+    # gat-mh semantic quirks (the era's training code is lost; these select
+    # between the reference's commented code and the upstream-STGAT form —
+    # defaults chosen by the checkpoint-fitness probe, tools/gatmh_probe.py):
+    # mh_adj: 'mix' = post-softmax attn @ adjacency (commented models.py:332)
+    #         'none' = pure attention over scene peds (upstream STGAT)
+    # mh_concat: 'transpose' = per-ped head concat (upstream STGAT)
+    #            'view' = untransposed reshape (commented models.py:384)
+    # mh_norm: masked per-scene InstanceNorm before each layer (upstream
+    #          STGAT's norm_list; constructed-but-commented in the reference)
+    mh_adj: str = "mix"
+    mh_concat: str = "transpose"
+    mh_norm: bool = False
     # Whether an mlp_decoder_context MLP maps context -> decoder_h - noise_dim
     # (only used when graph_module == 'none'; reference models.py:796-804)
     mlp_decoder_context: bool = False

@@ -161,7 +161,10 @@ def generator_context(
         elif cfg.graph_module == "gat-mh":
             k_gm, k_ctx = jax.random.split(k_graph)
             gm = gat_encoder_mh(params["gatencoder"], ctx, group_end, valid,
-                                cfg.alpha, cfg.dropout1, k_gm, train)
+                                cfg.alpha, cfg.dropout1, k_gm, train,
+                                adj_mode=cfg.mh_adj,
+                                concat_mode=cfg.mh_concat,
+                                norm=cfg.mh_norm)
             noise_input = mlp_forward(
                 params["mlp_decoder_context"], gm, cfg.activation,
                 cfg.batch_norm, cfg.dropout, k_ctx, mask=valid, train=train)

@@ -176,18 +176,22 @@ def init_gat_encoder_mh(key: jax.Array, n_units=(40, 16, 40),
 
 def gat_encoder_mh(params: dict, x: jnp.ndarray, labels: jnp.ndarray,
                    valid: jnp.ndarray, alpha: float = 0.2,
-                   dropout: float = 0.0, key=None, train: bool = True
-                   ) -> jnp.ndarray:
+                   dropout: float = 0.0, key=None, train: bool = True,
+                   adj_mode: str = "mix", concat_mode: str = "transpose",
+                   norm: bool = False) -> jnp.ndarray:
     """Era-(b) group GAT ("sgangat-g-*" checkpoints): a single batched
-    multi-head GAT stack over the row-normalized intra-group adjacency,
-    followed (in the generator) by mlp_decoder_context — per the reference's
-    commented forward (models.py:890-898). Reconstruction: the era's exact
-    class is commented out of the reference; semantics follow
-    BatchMultiHeadGraphAttention (models.py:296-388) with the checkpoint's
-    layer shapes."""
+    multi-head GAT stack, followed (in the generator) by
+    mlp_decoder_context — per the reference's commented forward
+    (models.py:890-898). Reconstruction: the era's exact class is commented
+    out of the reference; semantics follow BatchMultiHeadGraphAttention
+    (models.py:296-388) with the checkpoint's layer shapes. ``adj_mode`` /
+    ``concat_mode`` select between the commented code's quirks and the
+    upstream-STGAT form (see :func:`grouptraj.ops.gat.batch_gat`);
+    tools/gatmh_probe.py picks the combination that reproduces the shipped
+    checkpoints."""
     from grouptraj.ops.gat import batch_gat
 
     a_intra = normalize_adjacency(intra_group_adjacency(labels, valid))
     out = batch_gat(params["gat_net"], x, a_intra, valid, alpha, dropout,
-                    key, train)
+                    key, train, adj_mode, concat_mode, norm)
     return jnp.where(valid[..., None] > 0, out, 0.0)

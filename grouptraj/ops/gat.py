@@ -132,9 +132,19 @@ def init_batch_gat_layer(key: jax.Array, n_head: int, f_in: int, f_out: int,
 
 
 def batch_gat_layer(params: dict, x: jnp.ndarray, adj_norm: jnp.ndarray,
-                    valid: jnp.ndarray, alpha: float = 0.2) -> jnp.ndarray:
+                    valid: jnp.ndarray, alpha: float = 0.2,
+                    dropout: float = 0.0, key: Optional[jax.Array] = None,
+                    train: bool = True, adj_mode: str = "mix") -> jnp.ndarray:
     """x [S, N, F_in], adj_norm [S, N, N] row-normalized (zeros at padding),
-    valid [S, N] -> [S, K, N, F_out]."""
+    valid [S, N] -> [S, K, N, F_out].
+
+    ``adj_mode``: 'mix' multiplies the post-softmax attention by the
+    adjacency on the right (the reference's commented models.py:332,
+    ``attn @ adj``); 'none' skips it (the upstream-STGAT form the era-(b)
+    single-stack checkpoints behave like — see tools/gatmh_probe.py).
+    ``dropout`` is the reference's in-layer post-softmax attention dropout
+    (commented models.py:331).
+    """
     h = jnp.einsum("snf,kfo->skno", x, params["w"])
     src = jnp.einsum("skno,koi->skn", h, params["a_src"])
     dst = jnp.einsum("skno,koi->skn", h, params["a_dst"])
@@ -143,7 +153,13 @@ def batch_gat_layer(params: dict, x: jnp.ndarray, adj_norm: jnp.ndarray,
     e = jnp.where(valid[:, None, None, :] > 0, e, -jnp.inf)
     attn = jax.nn.softmax(e, axis=-1)
     attn = jnp.where(jnp.isfinite(attn), attn, 0.0)
-    attn = jnp.einsum("skim,smj->skij", attn, adj_norm)
+    if dropout > 0 and train:
+        if key is None:
+            raise ValueError("dropout requires a PRNG key")
+        keep = jax.random.bernoulli(key, 1.0 - dropout, attn.shape)
+        attn = jnp.where(keep, attn / (1.0 - dropout), 0.0)
+    if adj_mode == "mix":
+        attn = jnp.einsum("skim,smj->skij", attn, adj_norm)
     out = attn @ h + params["bias"]
     return out
 
@@ -158,24 +174,57 @@ def init_batch_gat(key: jax.Array, n_units, n_heads, dtype=jnp.float32) -> dict:
     return {"layer_stack": layers}
 
 
+def _masked_instance_norm(x: jnp.ndarray, valid: jnp.ndarray,
+                          eps: float = 1e-5) -> jnp.ndarray:
+    """Per-scene, per-feature normalization over the (valid) pedestrian
+    axis — torch ``InstanceNorm1d(affine=False)`` on a per-scene ``[1, F,
+    N]`` layout, as upstream STGAT applies before each GAT layer
+    (``norm_list``, reference commented models.py:372-375 constructs it;
+    the era-(b) training code likely ran it). Biased variance like torch."""
+    v = (valid > 0)[..., None]                              # [S, N, 1]
+    cnt = jnp.maximum(jnp.sum(v, axis=1, keepdims=True), 1)
+    mean = jnp.sum(jnp.where(v, x, 0.0), axis=1, keepdims=True) / cnt
+    var = jnp.sum(jnp.where(v, (x - mean) ** 2, 0.0), axis=1,
+                  keepdims=True) / cnt
+    return jnp.where(v, (x - mean) * jax.lax.rsqrt(var + eps), 0.0)
+
+
 def batch_gat(params: dict, x: jnp.ndarray, adj_norm: jnp.ndarray,
               valid: jnp.ndarray, alpha: float = 0.2, dropout: float = 0.0,
-              key: Optional[jax.Array] = None, train: bool = True
-              ) -> jnp.ndarray:
+              key: Optional[jax.Array] = None, train: bool = True,
+              adj_mode: str = "mix", concat_mode: str = "transpose",
+              norm: bool = False) -> jnp.ndarray:
     """Stacked batch-GAT (reference commented GAT, models.py:357-388):
     intermediate layers concat heads + ELU + dropout; the final (1-head)
-    layer emits raw features."""
+    layer emits raw features.
+
+    ``concat_mode``: 'transpose' concatenates head features per pedestrian
+    ([K,N,F] -> [N,K·F] via transpose, the upstream-STGAT form); 'view'
+    reproduces the reference's commented ``x.contiguous().view(bs, n, -1)``
+    (models.py:384) which reshapes WITHOUT transposing — rows mix
+    pedestrians across heads. Both offered because the era-(b) training
+    code is lost; the probe (tools/gatmh_probe.py) selects per-era.
+    """
     S, N = x.shape[:2]
     n_layers = len(params["layer_stack"])
     for i, layer in enumerate(params["layer_stack"]):
-        out = batch_gat_layer(layer, x, adj_norm, valid, alpha)
+        if norm:
+            x = _masked_instance_norm(x, valid)
+        k_att = None
+        if dropout > 0 and train:
+            if key is None:
+                raise ValueError("dropout requires a PRNG key")
+            key, k_att = jax.random.split(key)
+        out = batch_gat_layer(layer, x, adj_norm, valid, alpha, dropout,
+                              k_att, train, adj_mode)
         if i + 1 == n_layers:
             x = out[:, 0]                       # final layer: single head
         else:
-            x = jax.nn.elu(jnp.moveaxis(out, 1, 2).reshape(S, N, -1))
+            if concat_mode == "view":
+                x = jax.nn.elu(out.reshape(S, N, -1))
+            else:
+                x = jax.nn.elu(jnp.moveaxis(out, 1, 2).reshape(S, N, -1))
             if dropout > 0 and train:
-                if key is None:
-                    raise ValueError("dropout requires a PRNG key")
                 key, sub = jax.random.split(key)
                 keep = jax.random.bernoulli(sub, 1.0 - dropout, x.shape)
                 x = jnp.where(keep, x / (1.0 - dropout), 0.0)

@@ -264,3 +264,83 @@ def test_gat_mh_era_import_and_forward():
     sd = export_state_dicts(params, "generator")
     for k, v in sd.items():
         assert np.allclose(v, ck["g_state"][k]), k
+
+
+class _TorchBatchGAT(torch.nn.Module):
+    """Torch oracle for the reference's commented-out era-(b) GAT stack
+    (reference models.py:296-388), re-typed from its semantics:
+    per-head W / a_src / a_dst, logits src_i + dst_j, LeakyReLU, softmax
+    over ALL peds, post-softmax ``attn @ adj`` mix, bias add; intermediate
+    layers ELU over the reshaped head concat (``view`` without transpose —
+    the quirk at models.py:384), final single-head layer raw."""
+
+    def __init__(self, weights, alpha=0.2, concat_mode="view"):
+        super().__init__()
+        self.layers = [
+            {k: torch.as_tensor(np.asarray(v)) for k, v in lw.items()}
+            for lw in weights
+        ]
+        self.alpha = alpha
+        self.concat_mode = concat_mode
+
+    def forward(self, x, adj):
+        bs, n = x.shape[:2]
+        n_layers = len(self.layers)
+        for i, lw in enumerate(self.layers):
+            h = torch.matmul(x.unsqueeze(1), lw["w"])      # [bs, K, n, f_out]
+            attn_src = torch.matmul(h, lw["a_src"])        # [bs, K, n, 1]
+            attn_dst = torch.matmul(h, lw["a_dst"])
+            attn = (attn_src.expand(-1, -1, -1, n) +
+                    attn_dst.expand(-1, -1, -1, n).permute(0, 1, 3, 2))
+            attn = torch.nn.functional.leaky_relu(attn, self.alpha)
+            attn = torch.softmax(attn, dim=-1)
+            attn = torch.matmul(attn.squeeze(0), adj).unsqueeze(0)
+            out = torch.matmul(attn, h) + lw["bias"]
+            if i + 1 == n_layers:
+                x = out.squeeze(dim=1)
+            else:
+                if self.concat_mode == "view":
+                    x = out.contiguous().view(bs, n, -1)
+                else:
+                    x = out.transpose(1, 2).contiguous().view(bs, n, -1)
+                x = torch.nn.functional.elu(x)
+        return x
+
+
+@pytest.mark.parametrize("concat_mode", ["view", "transpose"])
+def test_batch_gat_matches_torch_oracle(concat_mode):
+    """grouptraj.ops.gat.batch_gat reproduces the reference's commented
+    BatchMultiHeadGraphAttention/GAT stack numerically, for both head-concat
+    conventions, using real sgangat-g-p checkpoint weights on a dense scene."""
+    path = os.path.join(REF, "models/sgangat-g-p-models/zara1_12_model.pt")
+    if not os.path.exists(path):
+        pytest.skip("era checkpoint missing")
+    from grouptraj.ops.gat import batch_gat
+    from grouptraj.ops.groups import (
+        intra_group_adjacency, normalize_adjacency,
+    )
+
+    ck = load_torch_checkpoint(path)
+    params = import_generator(ck["g_state"])
+    stack = params["gatencoder"]["gat_net"]["layer_stack"]
+
+    rng = np.random.default_rng(0)
+    N = 7
+    x = rng.normal(size=(1, N, 40)).astype(np.float32)
+    labels = np.array([[1, 1, 0, 2, 2, 2, 0]], np.float32)
+    valid = np.ones((1, N), np.float32)
+
+    adj = normalize_adjacency(intra_group_adjacency(
+        jnp.asarray(labels), jnp.asarray(valid)))
+    ours = batch_gat(stack if isinstance(stack, dict) else
+                     {"layer_stack": stack}, jnp.asarray(x), adj,
+                     jnp.asarray(valid), train=False,
+                     adj_mode="mix", concat_mode=concat_mode)
+
+    oracle = _TorchBatchGAT(
+        [{k: np.asarray(v) for k, v in lw.items()} for lw in stack],
+        concat_mode=concat_mode)
+    with torch.no_grad():
+        ref = oracle(torch.as_tensor(x), torch.as_tensor(np.asarray(adj[0])))
+    np.testing.assert_allclose(np.asarray(ours)[0], ref.numpy()[0],
+                               atol=2e-5)

@@ -147,6 +147,28 @@ def main():
                     f"| {r['family']} | {r['file']} | {r['dataset']} | "
                     f"{r['graph_module']} | {r['pooling']} | {r['ade']:.2f} |"
                     f" {r['fde']:.2f} |")
+        par += [
+            "",
+            "## The sgangat-g-p anomaly (investigated, unresolved upstream)",
+            "",
+            "The sgangat-g-p rows are worse than every other family and do "
+            "not beat the checkpoints' own single-sample val ADE. This is a "
+            "property of the LOST era-(b) training code, not of our import "
+            "(evidence in ARCHITECTURE.md 'gat-mh era'): every shared "
+            "component is verified by the other families (sgan-g-p imports "
+            "to 0.58 single-sample val ADE through the identical "
+            "encoder/pool/decoder path); our batch-GAT math is torch-oracle "
+            "verified against the reference's surviving commented code "
+            "(tests/test_compat.py::test_batch_gat_matches_torch_oracle); "
+            "and a 25+-variant semantic sweep over every surviving-code "
+            "ambiguity (tools/gatmh_probe.py, tools/gatmh_lab.py: adjacency "
+            "mix/mask/none, head-concat view/transpose, InstanceNorm on/off, "
+            "velocity inputs, residuals, post-activations) lands every "
+            "variant at 1.68-2.28 val ADE vs the ~0.59 a correct import "
+            "scores, with the gatencoder-bypassed control strictly worse "
+            "(2.03 Bo20) — the era's forward used the gatencoder but in a "
+            "form no surviving code expresses.",
+        ]
         open(os.path.join(ROOT, "PARITY.md"), "w").write("\n".join(par) + "\n")
     print("reports written")
 
