@@ -110,13 +110,13 @@ def _mlp_decoder_needed(cfg: ModelConfig) -> bool:
         cfg.encoder_h_dim_g != cfg.decoder_h_dim_g)
 
 
-def _pool(params: dict, cfg: ModelConfig, h, end_pos, labels, valid,
-          h_dim_key: str, key, train):
+def _pool(params: dict, cfg: ModelConfig, h, end_pos, last_rel, labels,
+          valid, h_dim_key: str, key, train):
     if cfg.pooling_type == "pool_net":
         return pool_hidden_net(params, h, end_pos, valid, cfg.activation,
                                cfg.batch_norm, cfg.dropout, key, train)
     if cfg.pooling_type == "gcn":
-        return gcn_pooling(params, h, end_pos, labels, valid)
+        return gcn_pooling(params, h, last_rel, labels, valid)
     raise ValueError(cfg.pooling_type)
 
 
@@ -144,8 +144,9 @@ def generator_context(
     final_h = _encode(params["encoder"], obs_rel, impl)       # [S, N, He]
 
     if cfg.pooling_type not in (None, "none"):
-        pool_h = _pool(params["pool_net"], cfg, final_h, end_pos, group_end,
-                       valid, "encoder", k_pool, train)
+        pool_h = _pool(params["pool_net"], cfg, final_h, end_pos,
+                       obs_rel[:, :, -1, :], group_end, valid, "encoder",
+                       k_pool, train)
         ctx = jnp.concatenate([final_h, pool_h], axis=-1)      # [S, N, He+B]
     else:
         ctx = final_h
@@ -273,7 +274,8 @@ def _decode(dec: dict, cfg: ModelConfig, h0: jnp.ndarray, last_pos,
             k_p, k_m = jax.random.split(k)
             hs = h.reshape(S, N, H)
             pool_h = _pool(dec["pool_net"], cfg, hs,
-                           new_pos.reshape(S, N, 2), group_end, valid,
+                           new_pos.reshape(S, N, 2),
+                           new_rel.reshape(S, N, 2), group_end, valid,
                            "decoder", k_p, train)
             mixed = mlp_forward(
                 dec["mlp"], jnp.concatenate([hs, pool_h], axis=-1),

@@ -131,33 +131,37 @@ def init_gcn_pooling(key: jax.Array, embedding_dim: int = 16, h_dim: int = 32,
     }
 
 
-def gcn_pooling(params: dict, h: jnp.ndarray, end_pos: jnp.ndarray,
+def gcn_pooling(params: dict, h: jnp.ndarray, last_rel: jnp.ndarray,
                 labels: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Group-aware GCN pooling: per-ped features are the centroid-relative
-    end position embedding concatenated with the encoder hidden state; the
-    intra GCN runs over the group adjacency and the inter GCN over the
-    complete group graph on GPooled raw features.
+    """Recovered GCNPooling pool-net (the class was deleted from the
+    reference; shapes/naming from ``scripts/train_GCN.py:617-631`` and the
+    ``models/01`` checkpoint).
 
-    This is a documented reconstruction (the class was deleted from the
-    reference; shapes and naming from ``scripts/train_GCN.py:617-631``).
-    Centroid-relative positions keep the model translation-invariant like
-    PoolHiddenNet's pairwise offsets.
+    Semantics recovered by checkpoint-fitness search (tools/gcnpool_lab.py):
+    per-ped features are the spatial embedding of the LAST RELATIVE
+    DISPLACEMENT (the decoder's input convention, ``obs_traj_rel[-1]``)
+    concatenated with the encoder hidden state ``[S, N, 16+32]``; BOTH GCNs
+    run over the row-normalized intra-group adjacency (consistent with the
+    checkpoint's identical 48-in shapes for intra and inter — the inter GCN
+    consumes raw per-ped features, not GPooled ones); concat [intra ‖ inter]
+    → out_embedding 16→8. With ``models/01`` this evaluates to 0.458/0.967
+    Bo20 on zara1 test (the recorded golden for this config family is
+    0.42/0.84 from a shorter sibling run, evaluate_model.py:129-173; the
+    shipped checkpoint is a 451-epoch overtrain of it), and to 0.563
+    single-sample val ADE, matching the ~0.53 a verified-correct import
+    scores — vs 2.38/4.38 for the earlier centroid-relative guess.
+    Eliminated alternatives (each strictly worse): centroid-relative or
+    absolute positions, GPooled inter over the complete group graph,
+    complement/full inter adjacencies, pairwise PoolHiddenNet-style
+    features, [inter ‖ intra] concat order, no-ReLU final GCN layer.
     """
     v = valid[..., None]
-    cnt = jnp.maximum(jnp.sum(valid, axis=-1, keepdims=True), 1.0)
-    centroid = jnp.sum(end_pos * v, axis=1, keepdims=True) / cnt[..., None]
-    rel = (end_pos - centroid) * v
-    x = jnp.concatenate([linear(params["spatial_embedding"], rel), h], axis=-1)
+    x = jnp.concatenate(
+        [linear(params["spatial_embedding"], last_rel * v), h], axis=-1)
 
     a_intra = normalize_adjacency(intra_group_adjacency(labels, valid))
     intra = gcn(params["gcn_pooling_net_intra"], a_intra, x)
-
-    r_raw, group_valid = group_membership(labels, valid)
-    r = normalize_adjacency(r_raw)
-    x_group = r @ x                                        # pool raw features
-    a_inter = normalize_adjacency(inter_group_adjacency(group_valid))
-    y_group = gcn(params["gcn_pooling_net_inter"], a_inter, x_group)
-    inter = jnp.einsum("smn,smf->snf", r, y_group)
+    inter = gcn(params["gcn_pooling_net_inter"], a_intra, x)
 
     out = linear(params["out_embedding"],
                  jnp.concatenate([intra, inter], axis=-1))

@@ -266,6 +266,51 @@ def test_gat_mh_era_import_and_forward():
         assert np.allclose(v, ck["g_state"][k]), k
 
 
+def test_gcn_pooling_era_recovered_semantics():
+    """models/01 (lost GCNPooling class) through the recovered semantics
+    scores sanely on real data — single-sample ADE on zara1 val batches must
+    be far below the ~2.2+ every eliminated formulation produced
+    (tools/gcnpool_lab.py; full-split numbers in PARITY.md)."""
+    path = os.path.join(REF, "models/01/checkpoint_with_model.pt")
+    if not os.path.exists(path):
+        pytest.skip("era checkpoint missing")
+    from grouptraj import losses as L
+    from grouptraj.data import data_loader
+    from grouptraj.utils import relative_to_abs
+
+    ck = load_torch_checkpoint(path)
+    cfg = config_from_checkpoint_args(ck["args"], ck["g_state"])
+    assert cfg.pooling_type == "gcn"
+    params = import_generator(ck["g_state"])
+
+    class A:
+        obs_len = cfg.obs_len
+        pred_len = cfg.pred_len
+        skip = 1
+        delim = "tab"
+        batch_size = 64
+        n_max = 0
+        seed = 0
+
+    _, loader = data_loader(A, get_dset_path("zara1", "val"), shuffle=False)
+    tot = n = 0.0
+    key = jax.random.PRNGKey(0)
+    for i, b in enumerate(loader):
+        if i >= 3:
+            break
+        key, sub = jax.random.split(key)
+        pr = generator_forward(params, cfg, jnp.asarray(b.obs),
+                               jnp.asarray(b.obs_rel),
+                               jnp.asarray(b.end_group),
+                               jnp.asarray(b.valid), sub, train=False)
+        pa = relative_to_abs(pr, jnp.asarray(b.obs)[:, :, -1, :])
+        tot += float(L.displacement_error(pa, jnp.asarray(b.pred),
+                                          jnp.asarray(b.valid)))
+        n += float(np.sum(b.valid))
+    ade = tot / (n * cfg.pred_len)
+    assert ade < 0.85, ade
+
+
 class _TorchBatchGAT(torch.nn.Module):
     """Torch oracle for the reference's commented-out era-(b) GAT stack
     (reference models.py:296-388), re-typed from its semantics:

@@ -73,18 +73,23 @@ def test_gcn_module_padding_invariance():
                        atol=1e-5)
 
 
-def test_gcn_pooling_shapes_translation_invariance():
+def test_gcn_pooling_shapes_and_padding():
     p = init_gcn_pooling(KEY, h_dim=8, bottleneck_dim=8)
     h = jax.random.normal(KEY, (2, 4, 8))
-    pos = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 2))
-    labels = jnp.zeros((2, 4))
+    last_rel = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 2))
+    labels = jnp.asarray([[1.0, 1.0, 0.0, 0.0], [0.0, 2.0, 2.0, 2.0]])
     valid = jnp.ones((2, 4))
-    out = gcn_pooling(p, h, pos, labels, valid)
+    out = gcn_pooling(p, h, last_rel, labels, valid)
     assert out.shape == (2, 4, 8)
-    # f32 cancellation in (pos+shift) − (centroid+shift) leaves ~1e-6·shift
-    # noise that the randn-init GCN amplifies ~60×; tolerance reflects that.
-    out_shift = gcn_pooling(p, h, pos + 10.0, labels, valid)
-    assert np.allclose(np.asarray(out), np.asarray(out_shift), atol=1e-3)
+    # the recovered semantics consume relative displacements, so the module
+    # is translation-invariant by construction; padded peds are inert
+    h_pad = jnp.concatenate([h, jnp.ones((2, 2, 8))], axis=1)
+    rel_pad = jnp.concatenate([last_rel, jnp.ones((2, 2, 2))], axis=1)
+    lab_pad = jnp.concatenate([labels, jnp.ones((2, 2))], axis=1)
+    val_pad = jnp.concatenate([valid, jnp.zeros((2, 2))], axis=1)
+    out_pad = gcn_pooling(p, h_pad, rel_pad, lab_pad, val_pad)
+    assert np.allclose(np.asarray(out), np.asarray(out_pad[:, :4]), atol=1e-5)
+    assert np.allclose(np.asarray(out_pad[:, 4:]), 0.0)
 
 
 # ---------------------------------------------------------------- generator

@@ -149,6 +149,21 @@ def main():
                     f" {r['fde']:.2f} |")
         par += [
             "",
+            "## GCNPooling (models/01): semantics recovered",
+            "",
+            "The lost GCNPooling class was recovered by checkpoint-fitness "
+            "search (tools/gcnpool_lab.py): per-ped features = spatial "
+            "embedding of the last relative displacement ‖ encoder hidden, "
+            "both GCNs over the row-normalized intra-group adjacency "
+            "(grouptraj/models/modules.py:gcn_pooling has the full evidence "
+            "trail). models/01 now evaluates to 0.46/0.97 Bo20 (zara1) vs "
+            "2.38/4.38 under the round-1 centroid-relative guess; the "
+            "reference's recorded golden 0.42/0.84 is from a shorter sibling "
+            "run of the same config (3628 iterations; the shipped checkpoint "
+            "is a 451-epoch overtrain at t=5400), and the checkpoint's own "
+            "val-ADE calibration (0.563 vs ~0.53 expected) confirms the "
+            "recovered forward.",
+            "",
             "## The sgangat-g-p anomaly (investigated, unresolved upstream)",
             "",
             "The sgangat-g-p rows are worse than every other family and do "
