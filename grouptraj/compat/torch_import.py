@@ -254,7 +254,21 @@ def export_state_dicts(params: dict, kind: str) -> Dict[str, np.ndarray]:
         idx = 0
         for layer in p["layers"]:
             lin(f"{prefix}.{idx}", layer["linear"])
-            idx += 2  # Linear + activation (batch_norm=0 layouts)
+            if "bn_scale" in layer:
+                # batch_norm=1 layout: Linear, BatchNorm1d, activation.
+                # mlp_forward normalizes with batch statistics (no running
+                # averages), so export identity running stats; the
+                # running_mean key also marks the entry as BN for _mlp().
+                bn = f"{prefix}.{idx + 1}"
+                out[f"{bn}.weight"] = np.asarray(layer["bn_scale"])
+                out[f"{bn}.bias"] = np.asarray(layer["bn_bias"])
+                out[f"{bn}.running_mean"] = np.zeros(
+                    layer["bn_scale"].shape, np.float32)
+                out[f"{bn}.running_var"] = np.ones(
+                    layer["bn_scale"].shape, np.float32)
+                idx += 3
+            else:
+                idx += 2  # Linear + activation
 
     def gat(prefix, p):
         for i, att in enumerate(p["attentions"]):

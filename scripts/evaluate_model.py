@@ -65,7 +65,9 @@ def main(args):
             skip = ck_args.get("skip", 1)
             delim = ck_args.get("delim", "tab")
             batch_size = ck_args.get("batch_size", 64)
-            n_max = ck_args.get("n_max", 0) or 0
+            # always re-derive the pad width from the eval split: a training
+            # n_max smaller than the largest eval scene would raise
+            n_max = 0
             seed = 0
 
         _, loader = data_loader(LoaderArgs, dpath, shuffle=False)

@@ -224,6 +224,31 @@ def test_export_roundtrip(ckpt):
         assert np.allclose(v, ckpt["d_state"][k]), k
 
 
+def test_export_roundtrip_batch_norm():
+    """batch_norm=1 params survive export -> re-import (BN scale/bias land
+    on nn.Sequential BatchNorm indices, not silently dropped)."""
+    from grouptraj.compat.torch_import import _mlp
+    from grouptraj.config import ModelConfig
+    from grouptraj.models import init_generator
+
+    cfg = ModelConfig(batch_norm=True)
+    params = init_generator(jax.random.PRNGKey(0), cfg)
+    # perturb BN params so the round-trip is non-trivial
+    mlp0 = params["pool_net"]["mlp_pre_pool"]["layers"][0]
+    assert "bn_scale" in mlp0
+    mlp0["bn_scale"] = mlp0["bn_scale"] * 1.5 + 0.25
+    sd = export_state_dicts(params, "generator")
+    assert "pool_net.mlp_pre_pool.1.weight" in sd        # BN at stride-3 idx
+    assert "pool_net.mlp_pre_pool.3.weight" in sd        # next Linear
+    back = _mlp(sd, "pool_net.mlp_pre_pool")
+    assert len(back["layers"]) == len(
+        params["pool_net"]["mlp_pre_pool"]["layers"])
+    np.testing.assert_allclose(np.asarray(back["layers"][0]["bn_scale"]),
+                               np.asarray(mlp0["bn_scale"]))
+    np.testing.assert_allclose(np.asarray(back["layers"][0]["bn_bias"]),
+                               np.asarray(mlp0["bn_bias"]))
+
+
 @pytest.mark.parametrize("family,expect", [
     ("models/sgan-g-p-models/zara1_12_model.pt", "gcn"),
     ("models/01/checkpoint_with_model.pt", "none"),
