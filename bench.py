@@ -27,8 +27,8 @@ REFERENCE_ITERS_PER_SEC = 0.131
 def bench_grouptraj(iters: int = 200, batch_size: int = 64,
                     impl_override: str = ""):
     """Measures the production training path: device-resident dataset,
-    chunked dispatch (10 iterations per lax.scan dispatch), zara1, d+g
-    alternation with best-of-20 variety loss."""
+    scene-size-bucketed chunked dispatch (10 iterations per lax.scan
+    dispatch), zara1, d+g alternation with best-of-20 variety loss."""
     from scripts._common import setup_jax_cache
     setup_jax_cache()
     import jax
@@ -36,7 +36,10 @@ def bench_grouptraj(iters: int = 200, batch_size: int = 64,
     import numpy as np
 
     from grouptraj.config import ModelConfig, TrainConfig
-    from grouptraj.train.device_data import IndexStream, device_dataset
+    from grouptraj.data.batching import DenseDataset
+    from grouptraj.train.device_data import (
+        BucketScheduler, IndexStream, device_dataset, make_buckets,
+    )
     from grouptraj.train.loop import build_loaders
     from grouptraj.train.steps import init_train_state, make_train_chunk
 
@@ -44,8 +47,15 @@ def bench_grouptraj(iters: int = 200, batch_size: int = 64,
     tcfg = TrainConfig(dataset_name="zara1", batch_size=batch_size)
     impl = impl_override or "scan"
     chunk = tcfg.steps_per_dispatch
+    sched = None
     try:
-        _, train_loader, _ = build_loaders(cfg, tcfg)
+        train_dset, train_loader, _ = build_loaders(cfg, tcfg)
+        if tcfg.n_buckets > 1:
+            buckets = make_buckets(train_dset, tcfg.n_buckets, batch_size)
+            datas = [device_dataset(
+                DenseDataset(train_dset, w, indices=bidx), cfg.obs_len)
+                for w, bidx in buckets]
+            sched = BucketScheduler([len(i) for _, i in buckets], batch_size)
         data = device_dataset(train_loader.dense, cfg.obs_len)
         num_seq = train_loader.dense.num_seq
     except FileNotFoundError:
@@ -80,25 +90,89 @@ def bench_grouptraj(iters: int = 200, batch_size: int = 64,
     key = jax.random.PRNGKey(0)
     state = init_train_state(key, cfg, tcfg)
 
-    def next_idx():
-        return jnp.asarray(np.stack([
+    def next_dispatch():
+        if sched is not None:
+            b, idx = sched.next_dispatch(chunk, 2)
+            return datas[b], jnp.asarray(idx)
+        return data, jnp.asarray(np.stack([
             np.stack([next(stream) for _ in range(2)])
             for _ in range(chunk)]))
 
-    # warmup/compile (a host readback is the only reliable sync on the
-    # axon platform — block_until_ready returns early there)
-    key, sub = jax.random.split(key)
-    state, losses = run(state, data, next_idx(), sub)
+    # warmup/compile every bucket width (a host readback is the only
+    # reliable sync on the axon platform — block_until_ready returns early)
+    n_warm = len(datas) if sched is not None else 1
+    for i in range(n_warm):
+        key, sub = jax.random.split(key)
+        d = datas[i] if sched is not None else data
+        state, losses = run(state, d, next_dispatch()[1], sub)
     np.asarray(losses["G_total_loss"])
+    if sched is not None:
+        sched.done = [0] * len(sched.done)   # restart proportional schedule
 
     n_chunks = max(1, iters // chunk)
     t0 = time.time()
     for _ in range(n_chunks):
         key, sub = jax.random.split(key)
-        state, losses = run(state, data, next_idx(), sub)
+        d, idx = next_dispatch()
+        state, losses = run(state, d, idx, sub)
     np.asarray(losses["G_total_loss"])          # hard sync
     dt = time.time() - t0
     return n_chunks * chunk / dt
+
+
+def bench_serving(num_samples: int = 20, batch_size: int = 64):
+    """Prediction (serving) throughput: best-of-k sampling on real zara1
+    test scenes through the jitted eval step. Returns predicted
+    trajectories/sec on this chip — every (pedestrian, sample) pair is one
+    predicted 12-step trajectory; only VALID pedestrians count."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from grouptraj.config import ModelConfig, TrainConfig
+    from grouptraj.data import data_loader
+    from grouptraj.eval import make_eval_step
+    from grouptraj.models import init_generator
+    from grouptraj.utils import get_dset_path
+
+    cfg = ModelConfig()
+
+    class A:
+        obs_len = cfg.obs_len
+        pred_len = cfg.pred_len
+        skip = 1
+        delim = "tab"
+        n_max = 0
+        seed = 0
+
+    A.batch_size = batch_size
+    try:
+        _, loader = data_loader(A, get_dset_path("zara1", "test"),
+                                shuffle=False)
+        batches = list(loader)
+    except FileNotFoundError:
+        return None
+    params = init_generator(jax.random.PRNGKey(0), cfg)
+    step = make_eval_step(cfg, num_samples)
+    args_list = [
+        (jnp.asarray(b.obs), jnp.asarray(b.obs_rel),
+         jnp.asarray(b.end_group), jnp.asarray(b.valid),
+         jnp.asarray(b.pred)) for b in batches]
+    key = jax.random.PRNGKey(0)
+    key, sub = jax.random.split(key)
+    np.asarray(step(params, *args_list[0], sub)[0])     # compile + sync
+
+    reps = 3
+    total_traj = 0.0
+    t0 = time.time()
+    out = None
+    for _ in range(reps):
+        for a, b in zip(args_list, batches):
+            key, sub = jax.random.split(key)
+            out = step(params, *a, sub)
+            total_traj += float(b.valid.sum()) * num_samples
+    np.asarray(out[0])                                  # hard sync
+    return total_traj / (time.time() - t0)
 
 
 def bench_reference(iters: int = 3, batch_size: int = 64) -> float:
@@ -190,9 +264,15 @@ if __name__ == "__main__":
                           "vs_baseline": 1.0}))
     else:
         ips = bench_grouptraj(args.iters, impl_override=args.impl)
-        print(json.dumps({
+        tps = bench_serving()
+        out = {
             "metric": "train_iters_per_sec_zara1_bo20",
             "value": round(ips, 3),
             "unit": "iters/s",
             "vs_baseline": round(ips / REFERENCE_ITERS_PER_SEC, 2),
-        }))
+        }
+        if tps is not None:
+            # BASELINE.json's second metric: best-of-20 sampling throughput;
+            # each (valid pedestrian, sample) is one predicted trajectory
+            out["pred_trajectories_per_sec_per_chip"] = round(tps, 0)
+        print(json.dumps(out))

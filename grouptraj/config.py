@@ -155,16 +155,24 @@ class TrainConfig:
     # dominant cost on a tunneled TPU; semantics are identical.
     steps_per_dispatch: int = 10
     n_max: int = 0                        # 0 = derive from dataset (rounded up to 8)
+    # Scene-size buckets for training dispatches (SURVEY.md §7): >1 pads
+    # each batch only to its bucket's width instead of the global max
+    # (ETH/UCY p50 is 5-6 peds vs max 57 — ~80% padding waste unbucketed).
+    # Each fused chunk runs at one bucket's width; XLA compiles once per
+    # (chunk, width). 1 = off.
+    n_buckets: int = 3
     # Data parallelism over scenes: 1 = single device (default), 0 = all
     # visible devices, N = first N devices. When >1 the training loop builds
     # a 1-D mesh, replicates params + the device-resident dataset, and shards
     # every batch's scene axis; GSPMD inserts the gradient all-reduce
     # (psum over ICI on a TPU slice). batch_size must divide evenly.
     num_devices: int = 1
-    # Fused Pallas LSTM kernels. Off by default: at these model sizes the
-    # XLA-compiled lax.scan is at least as fast on v5e (per-timestep grid
-    # pipelining overhead dominates the tiny matmuls); the kernel remains
-    # available and tested, and wins as hidden sizes grow.
+    # LSTM implementation: 'auto' picks by measured crossover (see the
+    # Pallas micro-bench table in ARCHITECTURE.md: on v5e the fused Pallas
+    # BPTT kernel wins fwd+bwd at H >= 64 — up to 2.2x at B=4096, H=128 —
+    # while XLA's lax.scan wins at the reference's H = 32/48), 'scan' /
+    # 'pallas' force one. use_pallas=True is a legacy alias for 'pallas'.
+    lstm_impl: str = "auto"
     use_pallas: bool = False
 
 

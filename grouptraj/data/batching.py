@@ -59,16 +59,23 @@ class DenseDataset:
     so there is no per-batch collation cost and no worker processes.
     """
 
-    def __init__(self, dset: TrajectoryDataset, n_max: int = 0):
+    def __init__(self, dset: TrajectoryDataset, n_max: int = 0,
+                 indices: Optional[Sequence[int]] = None):
+        """``indices`` selects a subset of windows (used by N-bucketing:
+        each bucket is a DenseDataset over its own scenes at its own pad
+        width, bounding padding waste — SURVEY.md §7)."""
         self.obs_len, self.pred_len = dset.obs_len, dset.pred_len
         T = dset.seq_len
+        windows = (dset.windows if indices is None
+                   else [dset.windows[i] for i in indices])
+        max_peds = max((w.num_peds for w in windows), default=1)
         if n_max <= 0:
-            n_max = max(8, round_up(dset.max_peds, 8))
-        if dset.max_peds > n_max:
+            n_max = max(8, round_up(max_peds, 8))
+        if max_peds > n_max:
             raise ValueError(
-                f"n_max={n_max} < largest scene ({dset.max_peds} peds)")
+                f"n_max={n_max} < largest scene ({max_peds} peds)")
         self.n_max = n_max
-        S = len(dset)
+        S = len(windows)
         self.num_seq = S
         self.xy = np.zeros((S, n_max, T, 2), np.float32)
         self.rel = np.zeros((S, n_max, T, 2), np.float32)
@@ -76,7 +83,7 @@ class DenseDataset:
         self.non_linear = np.zeros((S, n_max), np.float32)
         self.loss_mask = np.zeros((S, n_max, T), np.float32)
         self.valid = np.zeros((S, n_max), np.float32)
-        for i, w in enumerate(dset.windows):
+        for i, w in enumerate(windows):
             n = w.num_peds
             self.xy[i, :n] = w.xy
             self.rel[i, :n] = w.rel

@@ -20,6 +20,25 @@ import jax
 import jax.numpy as jnp
 
 
+def select_impl(cfg, tcfg) -> str:
+    """Pick the LSTM implementation from TrainConfig.
+
+    'auto' applies the measured v5e crossover (tools/pallas_bench.py; table
+    in ARCHITECTURE.md): the fused Pallas BPTT kernel wins fwd+bwd once any
+    hidden size reaches 64; at the reference's H = 32/48 XLA's lax.scan
+    wins. Non-TPU backends always use scan (the kernel is Mosaic-only).
+    """
+    impl = getattr(tcfg, "lstm_impl", "auto")
+    if getattr(tcfg, "use_pallas", False):
+        impl = "pallas"
+    if impl in ("scan", "pallas"):
+        return impl if jax.default_backend() == "tpu" else "scan"
+    if jax.default_backend() != "tpu":
+        return "scan"
+    h = max(cfg.encoder_h_dim_g, cfg.encoder_h_dim_d, cfg.decoder_h_dim_g)
+    return "pallas" if h >= 64 else "scan"
+
+
 def init_lstm(key: jax.Array, d_in: int, d_hidden: int,
               dtype=jnp.float32) -> dict:
     """torch nn.LSTM default init: every tensor U(−1/√H, 1/√H).

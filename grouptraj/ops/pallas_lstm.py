@@ -129,9 +129,12 @@ def _bwd_kernel(x_ref, w_ih_ref, w_hh_ref, y_prev_ref,
     dc0_ref[:] = dc_next
 
 
-def _grid_setup(B):
+def _grid_setup(B, H=128):
+    """Pick the batch block so per-step VMEM (gates block×4H dominates)
+    stays under the ~16 MB scoped limit at any hidden size."""
     Bp = round_up(max(B, 8), 8)
-    block = min(_BLOCK_B, Bp)
+    block = min(_BLOCK_B, _BLOCK_B * 128 // max(H, 128), Bp)
+    block = max(block, 8)
     while Bp % block:
         Bp += 8
     return Bp, block, Bp // block
@@ -140,7 +143,7 @@ def _grid_setup(B):
 def _lstm_pallas_fwd_impl(w_ih, w_hh, b, xs, h0, c0):
     T, B, D = xs.shape
     H = w_hh.shape[0]
-    Bp, block, nb = _grid_setup(B)
+    Bp, block, nb = _grid_setup(B, H)
     xs_p = jnp.pad(xs, ((0, 0), (0, Bp - B), (0, 0)))
     h0_p = jnp.pad(h0, ((0, Bp - B), (0, 0)))
     c0_p = jnp.pad(c0, ((0, Bp - B), (0, 0)))
@@ -190,7 +193,8 @@ def _bwd_rule(res, cts):
     T, B, D = xs.shape
     H = w_hh.shape[0]
     Bp = gates.shape[1]
-    block = min(_BLOCK_B, Bp)
+    block = min(_BLOCK_B, _BLOCK_B * 128 // max(H, 128), Bp)
+    block = max(block, 8)
     nb = Bp // block
 
     pad_b = lambda a: jnp.pad(a, ((0, 0), (0, Bp - a.shape[1]), (0, 0))) \

@@ -60,6 +60,76 @@ def gather_batch(data: Dict[str, jnp.ndarray], idx: jnp.ndarray,
     )
 
 
+def make_buckets(dset, n_buckets: int, batch_size: int):
+    """Partition window indices into ≤ n_buckets by pedestrian count.
+
+    SURVEY.md §7: one global pad width makes every batch pay for the largest
+    scene (ETH/UCY: p50 ≈ 5-6 peds, max 57 → ~80% padding waste). Buckets
+    get quantile-derived widths rounded up to 8; a bucket with fewer scenes
+    than one batch merges into the next wider one. Returns a list of
+    ``(width, indices)`` sorted by width.
+    """
+    import numpy as np
+
+    from grouptraj.utils import round_up
+
+    counts = np.array([w.num_peds for w in dset.windows])
+    top = max(8, round_up(int(counts.max()), 8))
+    if n_buckets <= 1:
+        return [(top, np.arange(len(counts)))]
+    qs = np.quantile(counts, [(i + 1) / n_buckets
+                              for i in range(n_buckets - 1)])
+    widths = sorted({max(8, round_up(int(q), 8)) for q in qs} | {top})
+    buckets = []
+    prev = 0
+    carry = np.array([], dtype=np.int64)
+    for w in widths:
+        idx = np.nonzero((counts > prev) & (counts <= w))[0]
+        idx = np.concatenate([carry, idx])
+        prev = w
+        if len(idx) < batch_size and w != widths[-1]:
+            carry = idx                      # too small: merge upward
+            continue
+        carry = np.array([], dtype=np.int64)
+        if len(idx):
+            buckets.append((w, idx))
+    if len(carry):
+        if buckets:
+            w, idx = buckets[-1]
+            buckets[-1] = (w, np.concatenate([idx, carry]))
+        else:
+            buckets.append((widths[-1], carry))
+    return buckets
+
+
+class BucketScheduler:
+    """Deficit scheduler over per-bucket index streams.
+
+    Each dispatch draws ``chunk × steps_per_iter`` batches from ONE bucket
+    (so the whole fused lax.scan chunk runs at that bucket's pad width);
+    buckets are picked by least progress relative to their scene share, so
+    long-run iteration counts stay proportional to bucket sizes — the same
+    expected per-scene visit rate as unbucketed shuffling.
+    """
+
+    def __init__(self, bucket_sizes, batch_size: int, seed: int = 0):
+        self.weights = [max(s, 1) for s in bucket_sizes]
+        self.total = sum(self.weights)
+        self.streams = [iter(IndexStream(s, batch_size, seed=seed + 977 * b))
+                        for b, s in enumerate(bucket_sizes)]
+        self.done = [0] * len(bucket_sizes)
+
+    def next_dispatch(self, chunk: int, steps_per_iter: int):
+        b = min(range(len(self.done)),
+                key=lambda i: self.done[i] / self.weights[i])
+        import numpy as np
+        idx = np.stack([
+            np.stack([next(self.streams[b]) for _ in range(steps_per_iter)])
+            for _ in range(chunk)])
+        self.done[b] += chunk
+        return b, idx
+
+
 class IndexStream:
     """Continuous epoch-reshuffled stream of scene-index arrays.
 

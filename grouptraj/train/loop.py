@@ -57,8 +57,8 @@ def build_loaders(cfg: ModelConfig, tcfg: TrainConfig):
 def train(cfg: ModelConfig, tcfg: TrainConfig,
           args_snapshot: Optional[dict] = None) -> dict:
     """Run training; returns the final checkpoint dict."""
-    impl = "pallas" if (tcfg.use_pallas and
-                        jax.default_backend() == "tpu") else "scan"
+    from grouptraj.ops.lstm import select_impl
+    impl = select_impl(cfg, tcfg)
     train_dset, train_loader, val_loader = build_loaders(cfg, tcfg)
 
     # ---- data parallelism over scenes (SURVEY.md §2.7): num_devices > 1
@@ -154,11 +154,23 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
     # `chunk` full iterations under one lax.scan (see train/device_data.py).
     spi = tcfg.d_steps + tcfg.g_steps
     chunk = max(1, tcfg.steps_per_dispatch)
-    data = device_dataset(train_loader.dense, cfg.obs_len,
-                          sharding=data_sharding)
-    stream = IndexStream(train_loader.dense.num_seq, tcfg.batch_size,
-                         seed=tcfg.seed, shuffle=True)
-    index_iter = iter(stream)
+    if tcfg.n_buckets > 1:
+        from grouptraj.train.device_data import BucketScheduler, make_buckets
+        buckets = make_buckets(train_dset, tcfg.n_buckets, tcfg.batch_size)
+        datas = [device_dataset(DenseDataset(train_dset, w, indices=idx),
+                                cfg.obs_len, sharding=data_sharding)
+                 for w, idx in buckets]
+        sched = BucketScheduler([len(idx) for _, idx in buckets],
+                                tcfg.batch_size, seed=tcfg.seed)
+        stream = None
+        logger.info("Scene-size buckets (width, scenes): %s",
+                    [(w, len(i)) for w, i in buckets])
+    else:
+        data = device_dataset(train_loader.dense, cfg.obs_len,
+                              sharding=data_sharding)
+        stream = IndexStream(train_loader.dense.num_seq, tcfg.batch_size,
+                             seed=tcfg.seed, shuffle=True)
+        index_iter = iter(stream)
     runners = {}
 
     def get_runner(c):
@@ -171,11 +183,17 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
     logged_epoch = 0
     while t < num_iterations:
         this_chunk = min(chunk, num_iterations - t)
-        idx = np.stack([
-            np.stack([next(index_iter) for _ in range(spi)])
-            for _ in range(this_chunk)])
-        if stream.epoch != logged_epoch:
-            logged_epoch = stream.epoch
+        if stream is None:
+            bucket_id, idx = sched.next_dispatch(this_chunk, spi)
+            data = datas[bucket_id]
+            cur_epoch = 1 + int(t * spi * tcfg.batch_size / len(train_dset))
+        else:
+            idx = np.stack([
+                np.stack([next(index_iter) for _ in range(spi)])
+                for _ in range(this_chunk)])
+            cur_epoch = stream.epoch
+        if cur_epoch != logged_epoch:
+            logged_epoch = cur_epoch
             logger.info("Starting epoch %d", logged_epoch)
 
         if tcfg.profile_dir and t <= 50 < t + this_chunk:
@@ -230,7 +248,7 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
 
         if t_prev // tcfg.checkpoint_every != t // tcfg.checkpoint_every:
             drain_norms()
-            epoch = stream.epoch
+            epoch = stream.epoch if stream is not None else logged_epoch
             ckpt["counters"]["t"] = t
             ckpt["counters"]["epoch"] = epoch
             ckpt["sample_ts"].append(t)

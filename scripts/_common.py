@@ -123,8 +123,16 @@ def build_parser(gcn_variant: bool = False) -> argparse.ArgumentParser:
                    help="training iterations fused per device dispatch")
     p.add_argument("--n_max", default=0, type=int,
                    help="pad scenes to this many peds (0 = derive)")
+    p.add_argument("--n_buckets", default=3, type=int,
+                   help="scene-size buckets for training dispatches "
+                        "(1 = one global pad width)")
     p.add_argument("--use_pallas", default=0, type=bool_flag,
-                   help="fused Pallas LSTM kernels on TPU")
+                   help="force the fused Pallas LSTM kernels (legacy alias "
+                        "for --lstm_impl pallas)")
+    p.add_argument("--lstm_impl", default="auto",
+                   choices=["auto", "scan", "pallas"],
+                   help="LSTM implementation; auto picks by the measured "
+                        "size crossover (ARCHITECTURE.md)")
     p.add_argument("--num_devices", default=1, type=int,
                    help="data-parallel devices: 1 = single (default), "
                         "0 = all visible, N = first N; batch_size must "
@@ -178,6 +186,7 @@ def configs_from_args(args, gcn_variant: bool = False):
         profile_dir=args.profile_dir,
         seed=args.seed, steps_per_dispatch=args.steps_per_dispatch,
         n_max=args.n_max, use_pallas=bool(args.use_pallas),
-        num_devices=args.num_devices,
+        lstm_impl=args.lstm_impl,
+        num_devices=args.num_devices, n_buckets=args.n_buckets,
     )
     return mcfg, tcfg

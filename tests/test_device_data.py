@@ -61,6 +61,83 @@ def test_index_stream_epochs_cover_everything(dense):
     assert stream.epoch == 2
 
 
+def test_make_buckets_partition_and_merge():
+    """Buckets partition all windows, widths are multiples of 8 and cover
+    each bucket's largest scene, and sub-batch buckets merge upward."""
+    from grouptraj.train.device_data import make_buckets
+
+    class W:
+        def __init__(self, n):
+            self.num_peds = n
+
+    class D:
+        windows = [W(n) for n in
+                   [2, 3, 3, 4, 5, 5, 6, 9, 11, 14, 30, 55, 4, 5, 7, 8]]
+
+    buckets = make_buckets(D(), 3, batch_size=4)
+    all_idx = np.concatenate([idx for _, idx in buckets])
+    assert sorted(all_idx.tolist()) == list(range(len(D.windows)))
+    counts = np.array([w.num_peds for w in D.windows])
+    for w, idx in buckets:
+        assert w % 8 == 0
+        assert counts[idx].max() <= w
+    widths = [w for w, _ in buckets]
+    assert widths == sorted(widths)
+    # a bucket smaller than one batch must not exist (except possibly the last)
+    for w, idx in buckets[:-1]:
+        assert len(idx) >= 4
+    # n_buckets=1 degenerates to one global bucket
+    (w0, i0), = make_buckets(D(), 1, batch_size=4)
+    assert len(i0) == len(D.windows) and w0 == 56
+
+
+def test_bucket_scheduler_proportional_and_covering():
+    from grouptraj.train.device_data import BucketScheduler
+
+    sizes = [100, 20]
+    sched = BucketScheduler(sizes, batch_size=5, seed=0)
+    picks = []
+    for _ in range(60):
+        b, idx = sched.next_dispatch(chunk=2, steps_per_iter=2)
+        assert idx.shape == (2, 2, 5)
+        assert idx.max() <= sizes[b]      # null index allowed
+        picks.append(b)
+    # long-run proportions track scene share (100:20 = 5:1)
+    frac = picks.count(0) / len(picks)
+    assert 0.7 < frac < 0.95
+
+
+def test_train_bucketed_runs_and_checkpoints(tmp_path, monkeypatch):
+    """End-to-end train() with n_buckets>1 on a dataset with mixed scene
+    sizes: runs, losses finite, checkpoint written."""
+    from grouptraj.train.loop import train
+
+    rng = np.random.default_rng(1)
+    for split, nframes in (("train", 60), ("val", 25)):
+        d = tmp_path / "toy" / split
+        d.mkdir(parents=True)
+        rows = []
+        for t in range(nframes):
+            # 3 peds always; 9 more in the middle third (mixed window sizes)
+            peds = (1, 2, 3) if (t < 20 or t >= 40) else tuple(range(1, 13))
+            for p in peds:
+                x = 0.1 * t + p + 0.01 * rng.standard_normal()
+                rows.append(f"{t*10.0}\t{p}.0\t{x:.4f}\t{0.05*t-p:.4f}"
+                            f"\t{p % 3}.0")
+        (d / "toy.txt").write_text("\n".join(rows) + "\n")
+    monkeypatch.setenv("GROUPTRAJ_DATA_DIR", str(tmp_path))
+
+    tcfg = TrainConfig(dataset_name="toy", batch_size=4, num_epochs=0,
+                       num_iterations=4, checkpoint_every=3, print_every=1,
+                       best_k=2, n_buckets=3, steps_per_dispatch=2,
+                       output_dir=str(tmp_path / "out"))
+    ckpt = train(ModelConfig(), tcfg)
+    assert ckpt["counters"]["t"] == 4
+    for k, vals in ckpt["G_losses"].items():
+        assert np.isfinite(vals).all(), k
+    assert ckpt["metrics_val"]["ade"]
+
+
 def test_chunked_equals_stepwise(dense):
     """make_train_chunk's scan produces exactly the same parameters as the
     equivalent sequence of individual d/g steps with the same keys."""
