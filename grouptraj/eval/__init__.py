@@ -1,1 +1,3 @@
-from grouptraj.eval.evaluate import evaluate, make_eval_step  # noqa: F401
+from grouptraj.eval.evaluate import (  # noqa: F401
+    evaluate, evaluate_bucketed, make_eval_step,
+)

@@ -66,3 +66,40 @@ def evaluate(cfg: ModelConfig, loader, g_params, num_samples: int = 20,
     ade = ade_total / (traj_total * cfg.pred_len)
     fde = fde_total / traj_total
     return ade, fde
+
+
+def evaluate_bucketed(cfg: ModelConfig, dset, g_params,
+                      num_samples: int = 20, batch_size: int = 64,
+                      n_buckets: int = 3, key: jax.Array | None = None,
+                      impl: str = "scan") -> Tuple[float, float]:
+    """Best-of-N eval with scene-size buckets.
+
+    Metric-identical to :func:`evaluate` (the per-scene min-over-k and the
+    grand-total normalization do not depend on batch membership) but each
+    batch pads only to its bucket's width instead of the split's global max
+    — the same padding-waste fix the trainer applies (ARCHITECTURE.md
+    "Scene-size buckets"). ``dset`` is a TrajectoryDataset.
+    """
+    from grouptraj.data.batching import DenseDataset, DenseLoader
+    from grouptraj.train.device_data import make_buckets
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    step = make_eval_step(cfg, num_samples, impl)
+    ade_total = fde_total = traj_total = 0.0
+    for width, idx in make_buckets(dset, n_buckets, batch_size):
+        dense = DenseDataset(dset, width, indices=idx)
+        loader = DenseLoader(dense, batch_size, shuffle=False)
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            a, f, n = step(g_params, jnp.asarray(batch.obs),
+                           jnp.asarray(batch.obs_rel),
+                           jnp.asarray(batch.end_group),
+                           jnp.asarray(batch.valid),
+                           jnp.asarray(batch.pred), sub)
+            ade_total += float(a)
+            fde_total += float(f)
+            traj_total += float(n)
+    ade = ade_total / (traj_total * cfg.pred_len)
+    fde = fde_total / traj_total
+    return ade, fde

@@ -21,6 +21,9 @@ parser.add_argument("--dset_type", default="test", type=str)
 parser.add_argument("--use_best", default=0, type=int,
                     help="evaluate g_best_state instead of g_state")
 parser.add_argument("--seed", default=0, type=int)
+parser.add_argument("--n_buckets", default=3, type=int,
+                    help="scene-size buckets for eval batches "
+                         "(1 = one global pad width); metric-identical")
 
 
 def get_generator(checkpoint, use_best=False):
@@ -70,9 +73,16 @@ def main(args):
             n_max = 0
             seed = 0
 
-        _, loader = data_loader(LoaderArgs, dpath, shuffle=False)
-        ade, fde = evaluate(cfg, loader, g_params, args.num_samples,
-                            key=jax.random.PRNGKey(args.seed))
+        dset, loader = data_loader(LoaderArgs, dpath, shuffle=False)
+        if args.n_buckets > 1:
+            from grouptraj.eval import evaluate_bucketed
+            ade, fde = evaluate_bucketed(
+                cfg, dset, g_params, args.num_samples,
+                batch_size=LoaderArgs.batch_size, n_buckets=args.n_buckets,
+                key=jax.random.PRNGKey(args.seed))
+        else:
+            ade, fde = evaluate(cfg, loader, g_params, args.num_samples,
+                                key=jax.random.PRNGKey(args.seed))
         print("Dataset: {}, Pred Len: {}, ADE: {:.2f}, FDE: {:.2f}".format(
             ck_args["dataset_name"], ck_args["pred_len"], ade, fde))
         for k, v in checkpoint["args"].items():

@@ -151,3 +151,43 @@ def test_evaluate_harness_on_synthetic():
                             key=jax.random.PRNGKey(7))
     assert np.isfinite(ade1) and np.isfinite(fde1)
     assert ade20 <= ade1 * 1.05   # min over more samples shouldn't be worse
+
+
+def test_evaluate_bucketed_matches_global(tmp_path):
+    """Bucketed eval is metric-identical to single-width eval on real
+    mixed-size scenes (same num_samples, same per-scene min-over-k)."""
+    from grouptraj.data import TrajectoryDataset, data_loader
+    from grouptraj.eval import evaluate_bucketed
+
+    rng = np.random.default_rng(3)
+    d = tmp_path / "test"
+    d.mkdir()
+    rows = []
+    for t in range(60):
+        peds = (1, 2, 3) if (t < 20 or t >= 40) else tuple(range(1, 13))
+        for p in peds:
+            x = 0.1 * t + p + 0.01 * rng.standard_normal()
+            rows.append(f"{t*10.0}\t{p}.0\t{x:.4f}\t{0.05*t-p:.4f}"
+                        f"\t{p % 3}.0")
+    (d / "s.txt").write_text("\n".join(rows) + "\n")
+
+    class A:
+        obs_len, pred_len, skip, delim = 8, 12, 1, "tab"
+        batch_size = 4
+        n_max = 0
+        seed = 0
+
+    dset, loader = data_loader(A, str(d), shuffle=False)
+    # noise_dim=() makes the generator deterministic, so the metric cannot
+    # depend on how scenes are grouped into batches (RNG keys are drawn per
+    # batch) and the two evals must agree to f32 accumulation order
+    import dataclasses
+    cfg = dataclasses.replace(CFG, noise_dim=())
+    st = init_train_state(jax.random.PRNGKey(1), cfg, TCFG)
+    a1, f1 = evaluate(cfg, loader, st.g_params, num_samples=1,
+                      key=jax.random.PRNGKey(0))
+    a2, f2 = evaluate_bucketed(cfg, dset, st.g_params, num_samples=1,
+                               batch_size=4, n_buckets=3,
+                               key=jax.random.PRNGKey(0))
+    assert np.isclose(a1, a2, rtol=2e-3), (a1, a2)
+    assert np.isclose(f1, f2, rtol=2e-3), (f1, f2)

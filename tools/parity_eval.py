@@ -38,7 +38,7 @@ def evaluate_checkpoint(path, num_samples, seed=0):
         config_from_checkpoint_args, import_generator, load_torch_checkpoint,
     )
     from grouptraj.data import data_loader
-    from grouptraj.eval import evaluate
+    from grouptraj.eval import evaluate_bucketed
     from grouptraj.utils import get_dset_path
 
     ck = load_torch_checkpoint(path)
@@ -58,10 +58,10 @@ def evaluate_checkpoint(path, num_samples, seed=0):
         n_max = 0
         seed = 0
 
-    _, loader = data_loader(LoaderArgs, dpath, shuffle=False)
+    dset, _ = data_loader(LoaderArgs, dpath, shuffle=False)
     t0 = time.time()
-    ade, fde = evaluate(cfg, loader, params, num_samples,
-                        key=jax.random.PRNGKey(seed))
+    ade, fde = evaluate_bucketed(cfg, dset, params, num_samples,
+                                 key=jax.random.PRNGKey(seed))
     return {
         "dataset": dset_name,
         "pred_len": cfg.pred_len,
