@@ -111,6 +111,35 @@ def test_train_loop_data_parallel_matches_single_device(data_root, tmp_path):
                       c8["metrics_val"]["ade"][-1], atol=1e-3)
 
 
+def test_train_loop_dp_with_buckets(tmp_path, monkeypatch):
+    """Data parallelism composes with scene-size buckets: every bucket width
+    compiles and executes with the scene axis sharded over 8 devices."""
+    from grouptraj.train.loop import train
+
+    rng = np.random.default_rng(2)
+    for split, nframes in (("train", 60), ("val", 25)):
+        d = tmp_path / "toy" / split
+        d.mkdir(parents=True)
+        rows = []
+        for t in range(nframes):
+            peds = (1, 2, 3) if (t < 20 or t >= 40) else tuple(range(1, 13))
+            for p in peds:
+                x = 0.1 * t + p + 0.01 * rng.standard_normal()
+                rows.append(f"{t*10.0}\t{p}.0\t{x:.4f}\t{0.05*t-p:.4f}"
+                            f"\t{p % 3}.0")
+        (d / "toy.txt").write_text("\n".join(rows) + "\n")
+    monkeypatch.setenv("GROUPTRAJ_DATA_DIR", str(tmp_path))
+
+    tcfg = TrainConfig(dataset_name="toy", batch_size=8, num_epochs=0,
+                       num_iterations=6, checkpoint_every=100, print_every=2,
+                       best_k=2, n_buckets=3, steps_per_dispatch=2,
+                       num_devices=8, output_dir=str(tmp_path / "out"))
+    ckpt = train(ModelConfig(), tcfg)
+    assert ckpt["counters"]["t"] == 6
+    for k, vals in ckpt["G_losses"].items():
+        assert np.isfinite(vals).all(), k
+
+
 def test_train_loop_rejects_indivisible_batch(data_root, tmp_path):
     from grouptraj.train.loop import train
 
