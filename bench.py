@@ -56,8 +56,10 @@ def bench_grouptraj(iters: int = 200, batch_size: int = 64,
                 DenseDataset(train_dset, w, indices=bidx), cfg.obs_len)
                 for w, bidx in buckets]
             sched = BucketScheduler([len(i) for _, i in buckets], batch_size)
-        data = device_dataset(train_loader.dense, cfg.obs_len)
-        num_seq = train_loader.dense.num_seq
+            data, num_seq = None, 0     # bucketed path never dispatches these
+        else:
+            data = device_dataset(train_loader.dense, cfg.obs_len)
+            num_seq = train_loader.dense.num_seq
     except FileNotFoundError:
         from grouptraj.parallel.data_parallel import synthetic_batch
         from grouptraj.data.batching import DenseDataset
@@ -86,7 +88,8 @@ def bench_grouptraj(iters: int = 200, batch_size: int = 64,
         num_seq = 256
 
     run = make_train_chunk(cfg, tcfg, impl, chunk)
-    stream = iter(IndexStream(num_seq, batch_size))
+    stream = (iter(IndexStream(num_seq, batch_size))
+              if sched is None else None)
     key = jax.random.PRNGKey(0)
     state = init_train_state(key, cfg, tcfg)
 
@@ -98,16 +101,15 @@ def bench_grouptraj(iters: int = 200, batch_size: int = 64,
             np.stack([next(stream) for _ in range(2)])
             for _ in range(chunk)]))
 
-    # warmup/compile every bucket width (a host readback is the only
-    # reliable sync on the axon platform — block_until_ready returns early)
-    n_warm = len(datas) if sched is not None else 1
-    for i in range(n_warm):
+    # warmup/compile every bucket width with index 0 — always valid for any
+    # bucket, and independent of which bucket the scheduler would pick next
+    # (a host readback is the only reliable sync on the axon platform —
+    # block_until_ready returns early)
+    warm_idx = jnp.zeros((chunk, 2, batch_size), jnp.int32)
+    for d in (datas if sched is not None else [data]):
         key, sub = jax.random.split(key)
-        d = datas[i] if sched is not None else data
-        state, losses = run(state, d, next_dispatch()[1], sub)
+        state, losses = run(state, d, warm_idx, sub)
     np.asarray(losses["G_total_loss"])
-    if sched is not None:
-        sched.done = [0] * len(sched.done)   # restart proportional schedule
 
     n_chunks = max(1, iters // chunk)
     t0 = time.time()

@@ -74,11 +74,17 @@ def evaluate_bucketed(cfg: ModelConfig, dset, g_params,
                       impl: str = "scan") -> Tuple[float, float]:
     """Best-of-N eval with scene-size buckets.
 
-    Metric-identical to :func:`evaluate` (the per-scene min-over-k and the
-    grand-total normalization do not depend on batch membership) but each
-    batch pads only to its bucket's width instead of the split's global max
-    — the same padding-waste fix the trainer applies (ARCHITECTURE.md
-    "Scene-size buckets"). ``dset`` is a TrajectoryDataset.
+    Metric-equivalent to :func:`evaluate`: the per-scene min-over-k and the
+    grand-total normalization do not depend on batch membership, so for a
+    deterministic generator (``noise_dim=()``) the numbers are bit-identical
+    (tested). For a stochastic generator the estimator is the same but the
+    PRNG subkeys are consumed in bucket order rather than loader order, so
+    at a fixed seed the sampled noise — and hence the best-of-N draw —
+    differs from the unbucketed path by ordinary sampling variance (like
+    changing the seed). Each batch pads only to its bucket's width instead
+    of the split's global max — the same padding-waste fix the trainer
+    applies (ARCHITECTURE.md "Scene-size buckets"). ``dset`` is a
+    TrajectoryDataset.
     """
     from grouptraj.data.batching import DenseDataset, DenseLoader
     from grouptraj.train.device_data import make_buckets

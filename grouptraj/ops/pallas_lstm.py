@@ -131,13 +131,21 @@ def _bwd_kernel(x_ref, w_ih_ref, w_hh_ref, y_prev_ref,
 
 def _grid_setup(B, H=128):
     """Pick the batch block so per-step VMEM (gates block×4H dominates)
-    stays under the ~16 MB scoped limit at any hidden size."""
+    stays under the ~16 MB scoped limit at any hidden size.
+
+    The block is 8-row aligned (f32 sublane tile) and balanced: given the
+    VMEM cap, split the padded batch evenly across the minimum number of
+    blocks rather than padding B up to a multiple of the cap — e.g.
+    H=160, B=1024 gets 2x512 (zero waste) instead of 2x816 (1.6x compute
+    and saved-gates inflation). The backward pass calls this same function
+    so its grid always matches the forward's padding.
+    """
     Bp = round_up(max(B, 8), 8)
-    block = min(_BLOCK_B, _BLOCK_B * 128 // max(H, 128), Bp)
-    block = max(block, 8)
-    while Bp % block:
-        Bp += 8
-    return Bp, block, Bp // block
+    cap = min(_BLOCK_B, _BLOCK_B * 128 // max(H, 128), Bp)
+    cap = max(cap - cap % 8, 8)
+    nb = -(-Bp // cap)
+    block = round_up(-(-Bp // nb), 8)
+    return block * nb, block, nb
 
 
 def _lstm_pallas_fwd_impl(w_ih, w_hh, b, xs, h0, c0):
@@ -192,10 +200,8 @@ def _bwd_rule(res, cts):
     dys, dhT, dcT = cts
     T, B, D = xs.shape
     H = w_hh.shape[0]
-    Bp = gates.shape[1]
-    block = min(_BLOCK_B, _BLOCK_B * 128 // max(H, 128), Bp)
-    block = max(block, 8)
-    nb = Bp // block
+    Bp, block, nb = _grid_setup(B, H)
+    assert Bp == gates.shape[1], "backward grid desynced from forward"
 
     pad_b = lambda a: jnp.pad(a, ((0, 0), (0, Bp - a.shape[1]), (0, 0))) \
         if a.ndim == 3 else jnp.pad(a, ((0, Bp - a.shape[0]), (0, 0)))

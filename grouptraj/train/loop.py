@@ -154,6 +154,13 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
     # `chunk` full iterations under one lax.scan (see train/device_data.py).
     spi = tcfg.d_steps + tcfg.g_steps
     chunk = max(1, tcfg.steps_per_dispatch)
+    if tcfg.n_max and tcfg.n_buckets > 1:
+        # An explicit --n_max is a request for one fixed pad width (e.g. to
+        # reuse a persistent XLA cache or bound memory); honor it instead of
+        # silently substituting quantile-derived bucket widths.
+        logger.info("--n_max %d set: disabling scene-size buckets and "
+                    "padding every batch to that width", tcfg.n_max)
+        tcfg = dataclasses.replace(tcfg, n_buckets=1)
     if tcfg.n_buckets > 1:
         from grouptraj.train.device_data import BucketScheduler, make_buckets
         buckets = make_buckets(train_dset, tcfg.n_buckets, tcfg.batch_size)
@@ -180,17 +187,21 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
 
     t0 = time.time()
     t_window_start, window_t0 = t, time.time()
+    window_traj = 0          # actual (scene-slot x pad-width) rows dispatched
     logged_epoch = 0
     while t < num_iterations:
         this_chunk = min(chunk, num_iterations - t)
         if stream is None:
             bucket_id, idx = sched.next_dispatch(this_chunk, spi)
             data = datas[bucket_id]
+            window_traj += this_chunk * tcfg.batch_size * buckets[bucket_id][0]
             cur_epoch = 1 + int(t * spi * tcfg.batch_size / len(train_dset))
         else:
             idx = np.stack([
                 np.stack([next(index_iter) for _ in range(spi)])
                 for _ in range(this_chunk)])
+            window_traj += (this_chunk * tcfg.batch_size
+                            * train_loader.dense.n_max)
             cur_epoch = stream.epoch
         if cur_epoch != logged_epoch:
             logged_epoch = cur_epoch
@@ -233,10 +244,13 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
             dt = time.time() - window_t0
             steps_done = t - t_window_start
             sps = steps_done / dt if dt > 0 and steps_done else 0.0
+            # traj/s counts the padded rows actually dispatched this window
+            # (per-bucket widths when bucketed, not the global n_max)
             logger.info("t = %d / %d (%.2f iters/s, %.0f traj/s)",
                         t, num_iterations, sps,
-                        sps * tcfg.batch_size * train_loader.dense.n_max)
+                        window_traj / dt if dt > 0 else 0.0)
             t_window_start, window_t0 = t, time.time()
+            window_traj = 0
             for k, v in sorted(host_losses.items()):
                 if k.startswith("D_"):
                     logger.info("  [D] %s: %.3f", k, v)
@@ -285,6 +299,7 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
                                      tcfg.checkpoint_name)
             logger.info("Saved checkpoint to %s", tcfg.output_dir)
             window_t0, t_window_start = time.time(), t
+            window_traj = 0
 
     device_sync()
     drain_norms()

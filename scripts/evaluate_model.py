@@ -23,7 +23,10 @@ parser.add_argument("--use_best", default=0, type=int,
 parser.add_argument("--seed", default=0, type=int)
 parser.add_argument("--n_buckets", default=3, type=int,
                     help="scene-size buckets for eval batches "
-                         "(1 = one global pad width); metric-identical")
+                         "(1 = one global pad width); same estimator, but "
+                         "noise subkeys are drawn in bucket order, so "
+                         "stochastic Bo-N results differ from n_buckets=1 "
+                         "at a fixed seed by sampling variance")
 
 
 def get_generator(checkpoint, use_best=False):

@@ -77,3 +77,18 @@ def test_backward_initial_state_grads():
     for a, b in zip(jax.tree_util.tree_leaves(g_s),
                     jax.tree_util.tree_leaves(g_p)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_grid_setup_alignment_and_waste():
+    """The batch block is 8-row aligned, divides the padded batch, respects
+    the VMEM cap, and never inflates the padded batch by more than ~3%
+    (regression: a 682-row block at H=192 used to force Bp to 2.66x B)."""
+    from grouptraj.ops.pallas_lstm import _BLOCK_B, _grid_setup
+
+    for H in range(8, 520, 8):
+        cap = max(min(_BLOCK_B, _BLOCK_B * 128 // max(H, 128)) // 8 * 8, 8)
+        for B in list(range(8, 200, 8)) + [1000, 1024, 4096, 5000]:
+            Bp, block, nb = _grid_setup(B, H)
+            assert Bp == block * nb
+            assert block % 8 == 0 and block <= cap
+            assert B <= Bp <= max(B, 8) * 1.04

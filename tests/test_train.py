@@ -155,7 +155,9 @@ def test_evaluate_harness_on_synthetic():
 
 def test_evaluate_bucketed_matches_global(tmp_path):
     """Bucketed eval is metric-identical to single-width eval on real
-    mixed-size scenes (same num_samples, same per-scene min-over-k)."""
+    mixed-size scenes for a DETERMINISTIC generator (noise_dim=()) — the
+    estimator is padding-invariant; stochastic generators differ only by
+    which PRNG subkey each scene's samples draw (see evaluate_bucketed)."""
     from grouptraj.data import TrajectoryDataset, data_loader
     from grouptraj.eval import evaluate_bucketed
 

@@ -115,8 +115,9 @@ def main():
         def fwd(p, obs, obs_rel, group, valid, key):
             final_h = _encode(p["encoder"], obs_rel, "scan")
             end_pos = obs[:, :, -1, :]
-            pool_h = _pool(p["pool_net"], cfg, final_h, end_pos, group,
-                           valid, "encoder", key, False)
+            pool_h = _pool(p["pool_net"], cfg, final_h, end_pos,
+                           obs_rel[:, :, -1, :], group, valid, "encoder",
+                           key, False)
             ctx = jnp.concatenate([final_h, pool_h], axis=-1)
             gm = gat_stack(ctx, group, valid, **kw)
             if post == "ctx_res":
