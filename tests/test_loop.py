@@ -78,3 +78,23 @@ def test_train_gcn_pooling_variant(data_root, tmp_path):
     assert ckpt["counters"]["t"] == 2
     assert any(k.startswith("pool_net.gcn_pooling_net_intra")
                for k in ckpt["g_state"])
+
+
+def test_explicit_n_max_disables_buckets(data_root, tmp_path, caplog):
+    """An explicit --n_max is honored as ONE fixed pad width: scene-size
+    buckets are turned off instead of silently substituting derived
+    widths (review finding r2)."""
+    import logging
+
+    out = str(tmp_path / "out_nmax")
+    tcfg = TrainConfig(dataset_name="toy", batch_size=4, num_epochs=0,
+                       num_iterations=2, checkpoint_every=2, print_every=1,
+                       best_k=2, output_dir=out, checkpoint_name="ck",
+                       num_samples_check=50, n_max=16, n_buckets=3)
+    with caplog.at_level(logging.INFO):
+        ckpt = train(ModelConfig(), tcfg)
+    assert ckpt["counters"]["t"] == 2
+    assert any("disabling scene-size buckets" in r.message
+               for r in caplog.records)
+    assert not any("Scene-size buckets" in r.message
+                   for r in caplog.records)
