@@ -25,7 +25,7 @@ REFERENCE_ITERS_PER_SEC = 0.131
 
 
 def bench_grouptraj(iters: int = 200, batch_size: int = 64,
-                    impl_override: str = ""):
+                    impl_override: str = "", spd: int = 0):
     """Measures the production training path: device-resident dataset,
     scene-size-bucketed chunked dispatch (10 iterations per lax.scan
     dispatch), zara1, d+g alternation with best-of-20 variety loss."""
@@ -45,6 +45,9 @@ def bench_grouptraj(iters: int = 200, batch_size: int = 64,
 
     cfg = ModelConfig()
     tcfg = TrainConfig(dataset_name="zara1", batch_size=batch_size)
+    if spd:
+        import dataclasses
+        tcfg = dataclasses.replace(tcfg, steps_per_dispatch=spd)
     impl = impl_override or "scan"
     chunk = tcfg.steps_per_dispatch
     sched = None
@@ -256,6 +259,8 @@ def bench_reference(iters: int = 3, batch_size: int = 64) -> float:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--spd", type=int, default=0,
+                    help="override steps_per_dispatch (0 = config default)")
     ap.add_argument("--impl", default="", choices=["", "scan", "pallas"])
     ap.add_argument("--measure-reference", action="store_true")
     args = ap.parse_args()
@@ -265,7 +270,8 @@ if __name__ == "__main__":
                           "value": round(ref, 4), "unit": "iters/s",
                           "vs_baseline": 1.0}))
     else:
-        ips = bench_grouptraj(args.iters, impl_override=args.impl)
+        ips = bench_grouptraj(args.iters, impl_override=args.impl,
+                              spd=args.spd)
         tps = bench_serving()
         out = {
             "metric": "train_iters_per_sec_zara1_bo20",
