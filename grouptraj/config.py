@@ -152,8 +152,10 @@ class TrainConfig:
     # TPU-specific
     # Training iterations fused into one dispatch (lax.scan over the
     # device-resident dataset). >1 amortizes host->device roundtrips — the
-    # dominant cost on a tunneled TPU; semantics are identical.
-    steps_per_dispatch: int = 10
+    # dominant cost on a tunneled TPU; semantics are identical. Measured on
+    # the v5e (zara1, Bo20, bucketed): 5/10/20 ≈ 110-112 it/s, 50 ≈ 128,
+    # 100 ≈ 126 — 50 is the knee (bench.py --spd).
+    steps_per_dispatch: int = 50
     n_max: int = 0                        # 0 = derive from dataset (rounded up to 8)
     # Scene-size buckets for training dispatches (SURVEY.md §7): >1 pads
     # each batch only to its bucket's width instead of the global max
