@@ -285,6 +285,8 @@ def _decode(dec: dict, cfg: ModelConfig, h0: jnp.ndarray, last_pos,
         return (h, c, new_pos, new_rel), new_rel
 
     init = (h, c, flat(last_pos), flat(last_pos_rel))
-    _, rels = jax.lax.scan(step, init, keys)                  # [Tp, S*N, 2]
+    from grouptraj.ops.lstm import SCAN_UNROLL
+    _, rels = jax.lax.scan(step, init, keys,
+                           unroll=SCAN_UNROLL)                # [Tp, S*N, 2]
     pred_rel = jnp.moveaxis(rels, 0, 1).reshape(S, N, cfg.pred_len, 2)
     return pred_rel * valid[..., None, None]

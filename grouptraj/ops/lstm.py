@@ -14,10 +14,17 @@ numerically equivalent (tested) and selected via ``impl='pallas'``.
 from __future__ import annotations
 
 import math
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+# Time-loop unroll factor for the scans (this module + the decoder scan).
+# Measured on the v5e training step (bench.py, zara1 Bo20 bucketed):
+# unroll 1 = 128 it/s, 4 = 90, 8 = 108 — unrolling only bloats the HLO at
+# these tiny per-step shapes, so the rolled loop stays the default.
+SCAN_UNROLL = int(os.environ.get("GROUPTRAJ_SCAN_UNROLL", "1"))
 
 
 def select_impl(cfg, tcfg) -> str:
@@ -93,5 +100,5 @@ def lstm_scan(params: dict, xs: jnp.ndarray, h0: jnp.ndarray | None = None,
         h, c = lstm_cell(params, x, h, c)
         return (h, c), h
 
-    (hT, cT), ys = jax.lax.scan(step, (h0, c0), xs)
+    (hT, cT), ys = jax.lax.scan(step, (h0, c0), xs, unroll=SCAN_UNROLL)
     return ys, (hT, cT)
