@@ -25,7 +25,8 @@ REFERENCE_ITERS_PER_SEC = 0.131
 
 
 def bench_grouptraj(iters: int = 200, batch_size: int = 64,
-                    impl_override: str = "", spd: int = 0):
+                    impl_override: str = "", spd: int = 0,
+                    n_buckets: int = 0):
     """Measures the production training path: device-resident dataset,
     scene-size-bucketed chunked dispatch (10 iterations per lax.scan
     dispatch), zara1, d+g alternation with best-of-20 variety loss."""
@@ -45,9 +46,11 @@ def bench_grouptraj(iters: int = 200, batch_size: int = 64,
 
     cfg = ModelConfig()
     tcfg = TrainConfig(dataset_name="zara1", batch_size=batch_size)
+    import dataclasses
     if spd:
-        import dataclasses
         tcfg = dataclasses.replace(tcfg, steps_per_dispatch=spd)
+    if n_buckets:
+        tcfg = dataclasses.replace(tcfg, n_buckets=n_buckets)
     impl = impl_override or "scan"
     chunk = tcfg.steps_per_dispatch
     sched = None
@@ -268,6 +271,8 @@ if __name__ == "__main__":
     ap.add_argument("--spd", type=int, default=0,
                     help="override steps_per_dispatch (0 = config default)")
     ap.add_argument("--impl", default="", choices=["", "scan", "pallas"])
+    ap.add_argument("--n_buckets", type=int, default=0,
+                    help="override scene-size bucket count (0 = default)")
     ap.add_argument("--measure-reference", action="store_true")
     args = ap.parse_args()
     if args.measure_reference:
@@ -277,7 +282,7 @@ if __name__ == "__main__":
                           "vs_baseline": 1.0}))
     else:
         ips = bench_grouptraj(args.iters, impl_override=args.impl,
-                              spd=args.spd)
+                              spd=args.spd, n_buckets=args.n_buckets)
         tps = bench_serving()
         out = {
             "metric": "train_iters_per_sec_zara1_bo20",
