@@ -24,7 +24,17 @@ import jax.numpy as jnp
 # Measured on the v5e training step (bench.py, zara1 Bo20 bucketed):
 # unroll 1 = 128 it/s, 4 = 90, 8 = 108 — unrolling only bloats the HLO at
 # these tiny per-step shapes, so the rolled loop stays the default.
-SCAN_UNROLL = int(os.environ.get("GROUPTRAJ_SCAN_UNROLL", "1"))
+def _scan_unroll() -> int:
+    raw = os.environ.get("GROUPTRAJ_SCAN_UNROLL", "1")
+    try:
+        return max(1, int(raw))
+    except ValueError:
+        import warnings
+        warnings.warn(f"GROUPTRAJ_SCAN_UNROLL={raw!r} is not an int; using 1")
+        return 1
+
+
+SCAN_UNROLL = _scan_unroll()
 
 
 def select_impl(cfg, tcfg) -> str:

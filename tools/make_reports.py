@@ -64,6 +64,15 @@ def main():
         ev = parse_eval_log(os.path.join(d, "eval.log"))
         tr = parse_train_log(os.path.join(d, "train.log"))
         rows.append((s, ev, tr))
+    missing = [s for s, ev, _ in rows if ev is None]
+    if missing:
+        # Run artifacts (runs/<scene>/eval.log via runs/BEST.json) are not
+        # checked in; without them a regeneration would replace curated
+        # results with '(pending)'. Refuse rather than clobber.
+        print(f"MODEL_ZOO.md NOT regenerated: missing eval logs for "
+              f"{missing} (runs/BEST.json -> runs/<dir>/eval.log). The "
+              f"committed MODEL_ZOO.md is the curated record; only "
+              f"regenerate with a full set of run artifacts.")
 
     zoo = ["# MODEL_ZOO — grouptraj models trained from scratch on TPU v5e",
            "",
@@ -85,7 +94,7 @@ def main():
         zoo.append(
             f"| {s}{mark} | **{ev['ade']:.2f}** | **{ev['fde']:.2f}** | "
             f"{up[0]} / {up[1]} | {tr.get('iterations','?')} | "
-            f"{tr.get('train_s',0)/60:.0f} min | "
+            f"{tr.get('train_s',0)/60:.1f} min | "
             f"{tr.get('iters_per_sec','?')} |")
     zoo += ["",
             "† univ's shipped default is the **gat-mh** (multi-head group "
@@ -137,7 +146,9 @@ def main():
             "Checkpoints: `models/grouptraj/<scene>_12_with_model.pt` "
             "(loadable by scripts/evaluate_model.py and importable back "
             "into PyTorch via the torch-style state_dict inside)."]
-    open(os.path.join(ROOT, "MODEL_ZOO.md"), "w").write("\n".join(zoo) + "\n")
+    if not missing:
+        open(os.path.join(ROOT, "MODEL_ZOO.md"),
+             "w").write("\n".join(zoo) + "\n")
 
     pj = os.path.join(ROOT, "PARITY.json")
     if os.path.exists(pj):
