@@ -173,3 +173,39 @@ def test_chunked_equals_stepwise(dense):
                     jax.tree_util.tree_leaves(state_s.d_params)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
     assert losses["G_total_loss"].shape == (2,)
+
+
+def test_make_buckets_higher_counts_saturate_and_stay_valid():
+    """Raising n_buckets must keep the partition exact and eventually
+    saturate (quantile widths dedupe), never exceed n_buckets, and never
+    produce a sub-batch bucket except the widest (ARCHITECTURE.md
+    "Why the default is 3 buckets")."""
+    from grouptraj.train.device_data import make_buckets
+
+    class W:
+        def __init__(self, n):
+            self.num_peds = n
+
+    class D:
+        windows = [W(n) for n in
+                   ([3] * 40 + [6] * 30 + [12] * 20 + [20] * 10 +
+                    [28] * 8 + [45] * 6 + [57] * 2)]
+
+    counts = np.array([w.num_peds for w in D.windows])
+    prev_widths = None
+    for nb in (2, 3, 4, 6, 8, 10, 16):
+        buckets = make_buckets(D(), nb, batch_size=4)
+        assert 1 <= len(buckets) <= nb
+        all_idx = np.concatenate([idx for _, idx in buckets])
+        assert sorted(all_idx.tolist()) == list(range(len(D.windows)))
+        for w, idx in buckets:
+            assert w % 8 == 0 and counts[idx].max() <= w
+        for w, idx in buckets[:-1]:
+            assert len(idx) >= 4
+        widths = [w for w, _ in buckets]
+        assert widths == sorted(set(widths))
+        prev_widths = widths
+    # saturation: beyond the number of distinct quantile widths, raising
+    # n_buckets further changes nothing
+    w32 = [w for w, _ in make_buckets(D(), 32, batch_size=4)]
+    assert w32 == prev_widths
