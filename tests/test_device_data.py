@@ -192,7 +192,6 @@ def test_make_buckets_higher_counts_saturate_and_stay_valid():
                     [28] * 8 + [45] * 6 + [57] * 2)]
 
     counts = np.array([w.num_peds for w in D.windows])
-    prev_widths = None
     for nb in (2, 3, 4, 6, 8, 10, 16):
         buckets = make_buckets(D(), nb, batch_size=4)
         assert 1 <= len(buckets) <= nb
@@ -204,8 +203,8 @@ def test_make_buckets_higher_counts_saturate_and_stay_valid():
             assert len(idx) >= 4
         widths = [w for w, _ in buckets]
         assert widths == sorted(set(widths))
-        prev_widths = widths
     # saturation: beyond the number of distinct quantile widths, raising
     # n_buckets further changes nothing
+    w16 = [w for w, _ in make_buckets(D(), 16, batch_size=4)]
     w32 = [w for w, _ in make_buckets(D(), 32, batch_size=4)]
-    assert w32 == prev_widths
+    assert w32 == w16

@@ -98,7 +98,8 @@ def main():
             f"{tr.get('iters_per_sec','?')} |")
     zoo += ["",
             "† univ's shipped default is the **gat-mh** (multi-head group "
-            "GAT) model (`--graph_module gat-mh --seed 5`), promoted after "
+            "GAT) model (`--graph_module gat-mh --seed 6`; seeds 5/6/7 "
+            "give 0.57/1.16, 0.56/1.17, 0.58/1.18), promoted after "
             "a 13-seed sweep of the default pool_net+GAT config plateaued "
             "at 0.62/1.24 (seeds 1–13 span 0.62–0.72 ADE; full table in "
             "`models/grouptraj/PROVENANCE.json`) — exactly the reference's "
@@ -112,7 +113,8 @@ def main():
         ("gcn_zara1", "GCNPooling (train_GCN.py config: best_k=1, d_steps=2)"),
         ("gcn20_zara1", "GCNPooling + best-of-20 variety loss (impossible in "
                         "the reference)"),
-        ("gatmh_univ_s5", "gat-mh (sgangat-g-p style: multi-head group GAT)"),
+        ("gatmh_univ_s6", "gat-mh (sgangat-g-p style: multi-head group GAT), "
+                          "seed 6"),
         ("univ_s3", "default GAT config, best of 13 seeds (seed 3)"),
         ("univ400", "flagship GAT, 500 epochs"),
     ]
