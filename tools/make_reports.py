@@ -90,24 +90,21 @@ def main():
             zoo.append(f"| {s} | (pending) | | | | | |")
             continue
         up = UPSTREAM_SGAN_20V20.get(s, ("", ""))
-        mark = " †" if s == "univ" else ""
+        mark = " †" if s in ("univ", "zara2") else ""
         zoo.append(
             f"| {s}{mark} | **{ev['ade']:.2f}** | **{ev['fde']:.2f}** | "
             f"{up[0]} / {up[1]} | {tr.get('iterations','?')} | "
             f"{tr.get('train_s',0)/60:.1f} min | "
             f"{tr.get('iters_per_sec','?')} |")
     zoo += ["",
-            "† univ's shipped default is the **gat-mh** (multi-head group "
-            "GAT) model (`--graph_module gat-mh --seed 6`; seeds 5/6/7 "
-            "give 0.57/1.16, 0.56/1.17, 0.58/1.18), promoted after "
-            "a 13-seed sweep of the default pool_net+GAT config plateaued "
-            "at 0.62/1.24 (seeds 1–13 span 0.62–0.72 ADE; full table in "
-            "`models/grouptraj/PROVENANCE.json`) — exactly the reference's "
-            "own univ ceiling (its shipped univ checkpoint evaluates to "
-            "0.62/1.28), so the gap to upstream is architectural, not a "
-            "seed lottery. The best default-config run (seed 3, 0.62/1.24) "
-            "ships alongside as "
-            "`models/grouptraj/univ_12_gat_with_model.pt`."]
+            "† univ's and zara2's shipped defaults are **gat-mh** "
+            "(multi-head group GAT) models, promoted where the default "
+            "config plateaus short of upstream (univ: 13-seed sweep "
+            "plateaued at 0.62/1.24 — the reference's own univ ceiling; "
+            "zara2: 12 seeds topped out at 0.32/0.66); full sweep tables "
+            "in `models/grouptraj/PROVENANCE.json`. The best "
+            "default-config runs ship alongside as "
+            "`<scene>_12_gat_with_model.pt`."]
     # variant configurations
     variants = [
         ("gcn_zara1", "GCNPooling (train_GCN.py config: best_k=1, d_steps=2)"),
@@ -117,6 +114,8 @@ def main():
                           "seed 6"),
         ("univ_s3", "default GAT config, best of 13 seeds (seed 3)"),
         ("univ400", "flagship GAT, 500 epochs"),
+        ("gatmh_zara2_s3", "gat-mh, seed 3 (promoted default)"),
+        ("zara2_s4", "default GAT config, best of 12 seeds (seed 4)"),
     ]
     vrows = []
     for d, desc in variants:
