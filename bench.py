@@ -68,30 +68,9 @@ def bench_grouptraj(iters: int = 200, batch_size: int = 64,
             data = device_dataset(train_loader.dense, cfg.obs_len)
             num_seq = train_loader.dense.num_seq
     except FileNotFoundError:
-        from grouptraj.parallel.data_parallel import synthetic_batch
-        from grouptraj.data.batching import DenseDataset
+        from grouptraj.parallel.data_parallel import synthetic_device_data
 
-        b = synthetic_batch(256, 64)
-        class FakeDense:  # minimal stand-in when datasets are absent
-            num_seq = 256
-        import numpy as _np
-        data = jax.device_put({
-            "xy": _np.concatenate([_np.asarray(jnp.concatenate(
-                [b["obs"], b["pred"]], axis=2)), _np.zeros((1, 64, 20, 2),
-                _np.float32)]),
-            "rel": _np.concatenate([_np.asarray(jnp.concatenate(
-                [b["obs_rel"], b["pred_rel"]], axis=2)),
-                _np.zeros((1, 64, 20, 2), _np.float32)]),
-            "group_end": _np.concatenate([_np.asarray(b["group"]),
-                                          _np.zeros((1, 64), _np.float32)]),
-            "loss_mask": _np.concatenate([_np.asarray(b["loss_mask"]),
-                                          _np.zeros((1, 64, 20),
-                                                    _np.float32)]),
-            "non_linear": _np.concatenate([_np.asarray(b["non_linear"]),
-                                           _np.zeros((1, 64), _np.float32)]),
-            "valid": _np.concatenate([_np.asarray(b["valid"]),
-                                      _np.zeros((1, 64), _np.float32)]),
-        })
+        data = synthetic_device_data(256, 64, cfg.obs_len, cfg.pred_len)
         num_seq = 256
 
     run = make_train_chunk(cfg, tcfg, impl, chunk)
@@ -118,23 +97,30 @@ def bench_grouptraj(iters: int = 200, batch_size: int = 64,
         state, losses = run(state, d, warm_idx, sub)
     np.asarray(losses["G_total_loss"])
 
-    # Best-of-3 reps over the SAME dispatch sequence, each with a hard
-    # sync: the host<->TPU tunnel adds variable latency between identical
-    # runs (same rationale as bench_serving), and at chunk=50 a naive
-    # --iters 200 window is only 4 dispatches. Keep >=8 dispatches per rep
-    # so one slow dispatch cannot dominate, and reuse one precomputed
-    # sequence so every rep times an identical bucket mix.
+    # 3 reps over the SAME dispatch sequence, each with a hard sync: the
+    # host<->TPU tunnel adds variable latency between identical runs (same
+    # rationale as bench_serving), and at chunk=50 a naive --iters 200
+    # window is only 4 dispatches. Keep >=8 dispatches per rep so one slow
+    # dispatch cannot dominate, and reuse one precomputed sequence so every
+    # rep times an identical bucket mix. The headline number is the MEDIAN
+    # rep (methodology-comparable with the single averaged reference
+    # measurement); the max rep is reported alongside as the tunnel-noise-
+    # free estimate of device throughput.
     n_chunks = max(8, iters // chunk)
+    if n_chunks * chunk != iters:
+        print(f"bench: timing {n_chunks * chunk} iterations/rep "
+              f"(--iters {iters} rounded to whole {chunk}-step dispatches, "
+              f"floor 8 dispatches)", file=sys.stderr)
     seq = [next_dispatch() for _ in range(n_chunks)]
-    best = 0.0
+    reps = []
     for _ in range(3):
         t0 = time.time()
         for d, idx in seq:
             key, sub = jax.random.split(key)
             state, losses = run(state, d, idx, sub)
         np.asarray(losses["G_total_loss"])      # hard sync
-        best = max(best, n_chunks * chunk / (time.time() - t0))
-    return best
+        reps.append(n_chunks * chunk / (time.time() - t0))
+    return sorted(reps)[len(reps) // 2], max(reps)
 
 
 def bench_serving(num_samples: int = 20, batch_size: int = 64):
@@ -179,13 +165,13 @@ def bench_serving(num_samples: int = 20, batch_size: int = 64):
     key, sub = jax.random.split(key)
     np.asarray(step(params, *args_list[0], sub)[0])     # compile + sync
 
-    # Per-rep timing with a hard sync per rep; report the best rep. The
-    # tunnel between host and TPU adds variable latency (observed ±40%
-    # between identical runs), so the fastest rep is the closest estimate
-    # of device throughput.
-    reps = 5
-    best = 0.0
-    for _ in range(reps):
+    # Per-rep timing with a hard sync per rep. The tunnel between host and
+    # TPU adds variable latency (observed ±40% between identical runs);
+    # report the median rep as the headline (like-for-like with the
+    # reference methodology) and the best rep as the tunnel-noise-free
+    # device estimate.
+    reps = []
+    for _ in range(5):
         rep_traj = 0.0
         t0 = time.time()
         out = None
@@ -194,8 +180,77 @@ def bench_serving(num_samples: int = 20, batch_size: int = 64):
             out = step(params, *a, sub)
             rep_traj += float(b.valid.sum()) * num_samples
         np.asarray(out[0])                              # hard sync
-        best = max(best, rep_traj / (time.time() - t0))
-    return best
+        reps.append(rep_traj / (time.time() - t0))
+    return sorted(reps)[len(reps) // 2], max(reps)
+
+
+def bench_multichip_scaling(iters: int = 8, chunk: int = 4) -> dict | None:
+    """Data-parallel scaling datapoint on the 8-virtual-device CPU mesh.
+
+    The container exposes one physical TPU chip, so the multi-chip axis is
+    validated the standard JAX way: a subprocess pins the CPU platform with
+    ``xla_force_host_platform_device_count=8`` and times the PRODUCTION
+    chunked train dispatch (make_train_chunk, synthetic data, batch 64)
+    with the scene axis sharded over 1 vs 8 mesh devices. Reports the
+    speedup — the sharding/collective layout working end-to-end, not TPU
+    throughput (CPU 'devices' share the host's cores).
+    """
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    code = f"""
+import json, time
+import jax, numpy as np
+jax.config.update('jax_platforms', 'cpu')
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from grouptraj.config import ModelConfig, TrainConfig
+from grouptraj.parallel.mesh import DATA_AXIS, make_mesh, replicated_sharding
+from grouptraj.parallel.data_parallel import synthetic_device_data
+from grouptraj.train.steps import init_train_state, make_train_chunk
+cfg = ModelConfig(); out = {{}}
+for n in (1, 8):
+    tcfg = TrainConfig(batch_size=64, best_k=5, steps_per_dispatch={chunk})
+    mesh = make_mesh(n)
+    data = synthetic_device_data(256, 16, sharding=replicated_sharding(mesh))
+    idx_shard = NamedSharding(mesh, P(None, None, DATA_AXIS))
+    run = make_train_chunk(cfg, tcfg, 'scan', {chunk})
+    state = jax.device_put(init_train_state(jax.random.PRNGKey(0), cfg, tcfg),
+                           replicated_sharding(mesh))
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(1)
+    n_chunks = {iters} // {chunk}
+    seq = [jax.device_put(rng.integers(0, 256, ({chunk}, 2, 64)).astype(
+        np.int32), idx_shard) for _ in range(n_chunks)]
+    state, losses = run(state, data, seq[0], key)       # compile
+    np.asarray(losses['G_total_loss'])
+    t0 = time.time()
+    for idx in seq:
+        key, sub = jax.random.split(key)
+        state, losses = run(state, data, idx, sub)
+    np.asarray(losses['G_total_loss'])
+    out[f'dp{{n}}'] = n_chunks * {chunk} / (time.time() - t0)
+print(json.dumps(out))
+"""
+    env = dict(os.environ)
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        flags += " --xla_force_host_platform_device_count=8"
+    env["XLA_FLAGS"] = flags.strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GROUPTRAJ_PLATFORM"] = "cpu"
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    try:
+        res = subprocess.run([_sys.executable, "-c", code], check=True,
+                             env=env, cwd=repo, capture_output=True,
+                             text=True, timeout=1200)
+        return _json.loads(res.stdout.strip().splitlines()[-1])
+    except Exception as e:  # scaling datapoint is auxiliary — never fatal
+        print(f"bench: multichip scaling skipped ({type(e).__name__})",
+              file=sys.stderr)
+        return None
 
 
 def bench_reference(iters: int = 3, batch_size: int = 64) -> float:
@@ -283,6 +338,8 @@ if __name__ == "__main__":
     ap.add_argument("--n_buckets", type=int, default=0,
                     help="override scene-size bucket count (0 = default)")
     ap.add_argument("--measure-reference", action="store_true")
+    ap.add_argument("--no-scaling", action="store_true",
+                    help="skip the 8-virtual-device CPU-mesh DP datapoint")
     args = ap.parse_args()
     if args.measure_reference:
         ref = bench_reference()
@@ -290,17 +347,27 @@ if __name__ == "__main__":
                           "value": round(ref, 4), "unit": "iters/s",
                           "vs_baseline": 1.0}))
     else:
-        ips = bench_grouptraj(args.iters, impl_override=args.impl,
-                              spd=args.spd, n_buckets=args.n_buckets)
+        ips_med, ips_best = bench_grouptraj(
+            args.iters, impl_override=args.impl, spd=args.spd,
+            n_buckets=args.n_buckets)
         tps = bench_serving()
         out = {
             "metric": "train_iters_per_sec_zara1_bo20",
-            "value": round(ips, 3),
+            "value": round(ips_med, 3),
             "unit": "iters/s",
-            "vs_baseline": round(ips / REFERENCE_ITERS_PER_SEC, 2),
+            "vs_baseline": round(ips_med / REFERENCE_ITERS_PER_SEC, 2),
+            "best_rep": round(ips_best, 3),
         }
         if tps is not None:
             # BASELINE.json's second metric: best-of-20 sampling throughput;
             # each (valid pedestrian, sample) is one predicted trajectory
-            out["pred_trajectories_per_sec_per_chip"] = round(tps, 0)
+            out["pred_trajectories_per_sec_per_chip"] = round(tps[0], 0)
+            out["pred_trajectories_per_sec_best_rep"] = round(tps[1], 0)
+        if not args.no_scaling:
+            sc = bench_multichip_scaling()
+            if sc:
+                # 8-virtual-CPU-device mesh datapoint: the production DP
+                # dispatch compiles + runs sharded; 'devices' share host
+                # cores so ~1x is expected — layout validation, not speed
+                out["dp8_vs_dp1_cpu_mesh"] = round(sc["dp8"] / sc["dp1"], 2)
         print(json.dumps(out))

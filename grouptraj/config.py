@@ -94,6 +94,18 @@ class ModelConfig:
     # Dense-batching (TPU) options — no reference equivalent
     activation: str = "relu"
 
+    def __post_init__(self):
+        if self.num_layers != 1:
+            raise ValueError(
+                f"num_layers={self.num_layers} is not supported: the "
+                "reference's live path itself crashes for num_layers > 1 "
+                "(TrajectoryGenerator hands the decoder LSTM a [1, B, H] "
+                "hidden state against a [num_layers, B, H] cell state, "
+                "reference sgan/models.py:908-912, and flattens the "
+                "multi-layer encoder state into the batch axis at "
+                "models.py:885). grouptraj's LSTMs are single-layer; fail "
+                "fast instead of silently training a different model.")
+
     @property
     def noise_first_dim(self) -> int:
         if not self.noise_dim or self.noise_dim[0] == 0:

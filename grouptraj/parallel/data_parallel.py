@@ -44,8 +44,39 @@ def synthetic_batch(S: int, N: int, obs_len: int = 8, pred_len: int = 12,
     )
 
 
+def synthetic_device_data(num_seq: int, N: int, obs_len: int = 8,
+                          pred_len: int = 12, seed: int = 0, sharding=None):
+    """A device-resident dataset dict with the exact schema
+    :func:`grouptraj.train.device_data.device_dataset` produces (incl. the
+    trailing all-zero null scene), built from :func:`synthetic_batch`."""
+    b = synthetic_batch(num_seq, N, obs_len, pred_len, seed)
+    pad1 = lambda a: np.concatenate(
+        [np.asarray(a), np.zeros((1,) + a.shape[1:], np.float32)], axis=0)
+    data = {
+        "xy": pad1(jnp.concatenate([b["obs"], b["pred"]], axis=2)),
+        "rel": pad1(jnp.concatenate([b["obs_rel"], b["pred_rel"]], axis=2)),
+        "group_end": pad1(b["group"]),
+        "loss_mask": pad1(b["loss_mask"]),
+        "non_linear": pad1(b["non_linear"]),
+        "valid": pad1(b["valid"]),
+    }
+    if sharding is not None:
+        return jax.device_put(data, sharding)
+    return jax.device_put(data)
+
+
 def dryrun_multichip(n_devices: int) -> None:
-    """One data-parallel train step (d + g) over an n-device mesh."""
+    """Data-parallel dry run over an n-device mesh, two stages:
+
+    1. the raw unchunked d/g steps on a sharded batch (params stay
+       replicated, losses finite);
+    2. the PRODUCTION dispatch path — :func:`make_train_chunk`'s fused
+       lax.scan over a device-resident dataset at two scene-size bucket
+       widths, scene-index arrays sharded on the data axis exactly as
+       ``train()`` dispatches them — asserting per-iteration loss parity
+       against the identical single-device run (DP is a sharding
+       annotation, not a different computation).
+    """
     devices = jax.devices()
     assert len(devices) >= n_devices, (
         f"need {n_devices} devices, have {len(devices)} "
@@ -55,8 +86,8 @@ def dryrun_multichip(n_devices: int) -> None:
     cfg = ModelConfig()                      # flagship GAT preset
     tcfg = TrainConfig(best_k=3, batch_size=2 * n_devices)
     key = jax.random.PRNGKey(0)
-    state = init_train_state(key, cfg, tcfg)
-    state = replicate_state(state, mesh)
+    state0 = init_train_state(key, cfg, tcfg)
+    state = replicate_state(state0, mesh)
 
     batch = synthetic_batch(tcfg.batch_size, 8)
     batch = shard_arrays(batch, mesh)
@@ -71,4 +102,41 @@ def dryrun_multichip(n_devices: int) -> None:
         assert np.isfinite(val), f"{name} not finite: {val}"
     # the updated params must remain replicated across the mesh
     leaf = jax.tree_util.tree_leaves(state.g_params)[0]
+    assert len(leaf.sharding.device_set) == n_devices
+
+    # ---- stage 2: production chunked + bucketed dispatch (train() path)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from grouptraj.parallel.mesh import DATA_AXIS, replicated_sharding
+    from grouptraj.train.steps import make_train_chunk
+
+    chunk = 2
+    spi = tcfg.d_steps + tcfg.g_steps
+    run = make_train_chunk(cfg, tcfg, "scan", chunk)
+    rng = np.random.default_rng(0)
+    idx_shard = NamedSharding(mesh, P(None, None, DATA_AXIS))
+    results = {}
+    for tag, data_sharding, idx_place, st in (
+            ("single", None, jnp.asarray, state0),
+            ("mesh", replicated_sharding(mesh),
+             lambda i: jax.device_put(i, idx_shard),
+             replicate_state(state0, mesh))):
+        rng = np.random.default_rng(0)           # identical index sequence
+        losses_all = []
+        for width, num_seq in ((8, 12), (16, 6)):   # two bucket widths
+            data = synthetic_device_data(num_seq, width, cfg.obs_len,
+                                         cfg.pred_len, seed=width,
+                                         sharding=data_sharding)
+            idx = rng.integers(0, num_seq,
+                               (chunk, spi, tcfg.batch_size)).astype(np.int32)
+            st, losses = run(st, data, idx_place(idx), jax.random.PRNGKey(9))
+            losses_all.append(losses)
+        results[tag] = (st, losses_all)
+    for la, lb in zip(results["single"][1], results["mesh"][1]):
+        for name in la:
+            a, b = np.asarray(la[name]), np.asarray(lb[name])
+            assert np.isfinite(a).all() and np.isfinite(b).all(), name
+            assert np.allclose(a, b, atol=2e-3), (
+                f"chunked loss diverged on mesh: {name} {a} vs {b}")
+    leaf = jax.tree_util.tree_leaves(results["mesh"][0].g_params)[0]
     assert len(leaf.sharding.device_set) == n_devices

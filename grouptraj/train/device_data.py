@@ -118,6 +118,18 @@ class BucketScheduler:
         self.streams = [iter(IndexStream(s, batch_size, seed=seed + 977 * b))
                         for b, s in enumerate(bucket_sizes)]
         self.done = [0] * len(bucket_sizes)
+        # one aggregate "epoch" = the number of batches one shuffle of every
+        # bucket yields — the same definition IndexStream uses unbucketed
+        self._batches = 0
+        self._batches_per_epoch = sum(
+            -(-max(s, 1) // batch_size) for s in bucket_sizes)
+
+    @property
+    def epoch(self) -> int:
+        """True epoch counter from batches actually dispatched (matches
+        IndexStream.epoch semantics: 1-based, increments when the aggregate
+        stream starts a new pass over every scene)."""
+        return 1 + self._batches // self._batches_per_epoch
 
     def next_dispatch(self, chunk: int, steps_per_iter: int):
         b = min(range(len(self.done)),
@@ -127,6 +139,7 @@ class BucketScheduler:
             np.stack([next(self.streams[b]) for _ in range(steps_per_iter)])
             for _ in range(chunk)])
         self.done[b] += chunk
+        self._batches += chunk * steps_per_iter
         return b, idx
 
 

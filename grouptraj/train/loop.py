@@ -195,7 +195,7 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
             bucket_id, idx = sched.next_dispatch(this_chunk, spi)
             data = datas[bucket_id]
             window_traj += this_chunk * tcfg.batch_size * buckets[bucket_id][0]
-            cur_epoch = 1 + int(t * spi * tcfg.batch_size / len(train_dset))
+            cur_epoch = sched.epoch
         else:
             idx = np.stack([
                 np.stack([next(index_iter) for _ in range(spi)])

@@ -208,3 +208,21 @@ def test_make_buckets_higher_counts_saturate_and_stay_valid():
     w16 = [w for w, _ in make_buckets(D(), 16, batch_size=4)]
     w32 = [w for w, _ in make_buckets(D(), 32, batch_size=4)]
     assert w32 == w16
+
+
+def test_bucket_scheduler_epoch_counts_true_batches():
+    from grouptraj.train.device_data import BucketScheduler
+
+    sizes = [100, 20]
+    batch = 5
+    sched = BucketScheduler(sizes, batch_size=batch, seed=0)
+    # one aggregate epoch = ceil(100/5) + ceil(20/5) = 24 batches
+    assert sched.epoch == 1
+    drawn = 0
+    while drawn + 4 <= 24:               # 2 iters x 2 steps = 4 batches/call
+        sched.next_dispatch(chunk=2, steps_per_iter=2)
+        drawn += 4
+    assert sched.epoch == 2              # 24 batches dispatched -> epoch 2
+    for _ in range(6):
+        sched.next_dispatch(chunk=2, steps_per_iter=2)
+    assert sched.epoch == 3

@@ -68,11 +68,16 @@ def main():
     if missing:
         # Run artifacts (runs/<scene>/eval.log via runs/BEST.json) are not
         # checked in; without them a regeneration would replace curated
-        # results with '(pending)'. Refuse rather than clobber.
+        # results with '(pending)'. Refuse rather than clobber — and skip
+        # building the discarded zoo text, write PARITY.md only, then exit
+        # non-zero so automation can detect the skip.
         print(f"MODEL_ZOO.md NOT regenerated: missing eval logs for "
               f"{missing} (runs/BEST.json -> runs/<dir>/eval.log). The "
               f"committed MODEL_ZOO.md is the curated record; only "
               f"regenerate with a full set of run artifacts.")
+        write_parity()
+        print("reports written (PARITY.md only)")
+        sys.exit(1)
 
     zoo = ["# MODEL_ZOO — grouptraj models trained from scratch on TPU v5e",
            "",
@@ -147,10 +152,12 @@ def main():
             "Checkpoints: `models/grouptraj/<scene>_12_with_model.pt` "
             "(loadable by scripts/evaluate_model.py and importable back "
             "into PyTorch via the torch-style state_dict inside)."]
-    if not missing:
-        open(os.path.join(ROOT, "MODEL_ZOO.md"),
-             "w").write("\n".join(zoo) + "\n")
+    open(os.path.join(ROOT, "MODEL_ZOO.md"), "w").write("\n".join(zoo) + "\n")
+    write_parity()
+    print("reports written")
 
+
+def write_parity():
     pj = os.path.join(ROOT, "PARITY.json")
     if os.path.exists(pj):
         results = json.load(open(pj))
@@ -212,7 +219,6 @@ def main():
             "form no surviving code expresses.",
         ]
         open(os.path.join(ROOT, "PARITY.md"), "w").write("\n".join(par) + "\n")
-    print("reports written")
 
 
 if __name__ == "__main__":
