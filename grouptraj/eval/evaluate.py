@@ -16,8 +16,9 @@ import jax.numpy as jnp
 
 from grouptraj import losses as L
 from grouptraj.config import ModelConfig
-from grouptraj.models import generator_forward
-from grouptraj.models.generator import generator_context, generator_sample
+from grouptraj.models.generator import (
+    generator_context, generator_sample_many,
+)
 from grouptraj.utils import relative_to_abs
 
 
@@ -29,9 +30,9 @@ def make_eval_step(cfg: ModelConfig, num_samples: int, impl: str = "scan"):
         # compute it once and vmap only the noise+decode phase
         ctx = generator_context(g_params, cfg, obs, obs_rel, group, valid,
                                 keys[0], train=False, impl=impl)
-        preds = jax.vmap(lambda k: generator_sample(
-            g_params, cfg, ctx, obs, obs_rel, group, valid, k, train=False,
-            impl=impl))(keys)                              # [K, S, N, Tp, 2]
+        preds = generator_sample_many(
+            g_params, cfg, ctx, obs, obs_rel, group, valid, keys,
+            train=False, impl=impl)                        # [K, S, N, Tp, 2]
         pred_abs = relative_to_abs(preds, obs[:, :, -1, :][None])
         ade_raw = L.displacement_error(pred_abs, pred_gt[None],
                                        valid[None], mode="raw")  # [K, S, N]
@@ -52,17 +53,20 @@ def evaluate(cfg: ModelConfig, loader, g_params, num_samples: int = 20,
     if key is None:
         key = jax.random.PRNGKey(0)
     step = make_eval_step(cfg, num_samples, impl)
-    ade_total = fde_total = traj_total = 0.0
+    acc = None
     for batch in loader:
         key, sub = jax.random.split(key)
-        a, f, n = step(g_params, jnp.asarray(batch.obs),
-                       jnp.asarray(batch.obs_rel),
-                       jnp.asarray(batch.end_group),
-                       jnp.asarray(batch.valid),
-                       jnp.asarray(batch.pred), sub)
-        ade_total += float(a)
-        fde_total += float(f)
-        traj_total += float(n)
+        out = step(g_params, jnp.asarray(batch.obs),
+                   jnp.asarray(batch.obs_rel),
+                   jnp.asarray(batch.end_group),
+                   jnp.asarray(batch.valid),
+                   jnp.asarray(batch.pred), sub)
+        # sums stay on device; one host readback per loader pass (a float()
+        # per metric per batch is a host<->device round trip each — on the
+        # tunneled TPU that serialized the whole eval, same pathology
+        # check_accuracy avoids in train/steps.py)
+        acc = out if acc is None else jax.tree_util.tree_map(jnp.add, acc, out)
+    ade_total, fde_total, traj_total = (float(v) for v in jax.device_get(acc))
     ade = ade_total / (traj_total * cfg.pred_len)
     fde = fde_total / traj_total
     return ade, fde
@@ -92,20 +96,21 @@ def evaluate_bucketed(cfg: ModelConfig, dset, g_params,
     if key is None:
         key = jax.random.PRNGKey(0)
     step = make_eval_step(cfg, num_samples, impl)
-    ade_total = fde_total = traj_total = 0.0
+    acc = None
     for width, idx in make_buckets(dset, n_buckets, batch_size):
         dense = DenseDataset(dset, width, indices=idx)
         loader = DenseLoader(dense, batch_size, shuffle=False)
         for batch in loader:
             key, sub = jax.random.split(key)
-            a, f, n = step(g_params, jnp.asarray(batch.obs),
-                           jnp.asarray(batch.obs_rel),
-                           jnp.asarray(batch.end_group),
-                           jnp.asarray(batch.valid),
-                           jnp.asarray(batch.pred), sub)
-            ade_total += float(a)
-            fde_total += float(f)
-            traj_total += float(n)
+            out = step(g_params, jnp.asarray(batch.obs),
+                       jnp.asarray(batch.obs_rel),
+                       jnp.asarray(batch.end_group),
+                       jnp.asarray(batch.valid),
+                       jnp.asarray(batch.pred), sub)
+            # device-side accumulation, one readback per sweep (see evaluate)
+            acc = out if acc is None else jax.tree_util.tree_map(
+                jnp.add, acc, out)
+    ade_total, fde_total, traj_total = (float(v) for v in jax.device_get(acc))
     ade = ade_total / (traj_total * cfg.pred_len)
     fde = fde_total / traj_total
     return ade, fde

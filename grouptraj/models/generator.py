@@ -24,7 +24,7 @@ from grouptraj.models.modules import (
     init_gat_encoder, init_gat_encoder_mh, init_gcn_module, init_gcn_pooling,
 )
 from grouptraj.ops.linear import init_linear, init_mlp, linear, mlp_forward
-from grouptraj.ops.lstm import init_lstm, lstm_cell, lstm_scan
+from grouptraj.ops.lstm import init_lstm, lstm_cell, lstm_gates, lstm_scan
 from grouptraj.ops.noise import get_noise
 from grouptraj.ops.pooling import init_pool_hidden_net, pool_hidden_net
 
@@ -221,6 +221,60 @@ def generator_sample(
                    group_end, valid, k_dec, train, impl)
 
 
+def generator_sample_many(
+    params: dict,
+    cfg: ModelConfig,
+    noise_input: jnp.ndarray,  # [S, N, decoder_h − noise] from generator_context
+    obs: jnp.ndarray,
+    obs_rel: jnp.ndarray,
+    group_end: jnp.ndarray,
+    valid: jnp.ndarray,
+    keys: jax.Array,           # [K] sample keys
+    train: bool = True,
+    impl: str = "scan",
+) -> jnp.ndarray:
+    """All K best-of-k samples in ONE decoder pass -> [K, S, N, Tp, 2].
+
+    Numerically identical to ``vmap(generator_sample)`` over the keys (same
+    per-key noise splits, tested): each sample's noise is drawn exactly as
+    :func:`generator_sample` draws it, then the scene axis is tiled K-fold
+    and a single decode runs on ``[K·S, N]`` scenes. Scenes are independent
+    rows everywhere in the decoder, so tiling is semantics-preserving; the
+    payoff is one kernel launch (and one Pallas fused-recurrence call at
+    full ``K·S·N`` batch) instead of a K-batched vmap body. The per-step
+    dropout keys of the ``pool_every_timestep`` path are shared across
+    samples here (they are per-sample under vmap) — callers on that path
+    with dropout > 0 use the vmap fallback (train/steps.py selects it).
+    """
+    K = keys.shape[0]
+    S, N = valid.shape
+    end_pos = obs[:, :, -1, :]
+    last_rel = obs_rel[:, :, -1, :]
+    nd = cfg.noise_first_dim
+
+    def mk_h(key):
+        k_noise, _, _, k_dec = jax.random.split(key, 4)
+        if nd:
+            if cfg.noise_mix_type == "global":
+                z = get_noise(k_noise, (S, nd), cfg.noise_type,
+                              noise_input.dtype)
+                z = jnp.broadcast_to(z[:, None, :], (S, N, nd))
+            else:
+                z = get_noise(k_noise, (S, N, nd), cfg.noise_type,
+                              noise_input.dtype)
+            return jnp.concatenate([noise_input, z], axis=-1), k_dec
+        return noise_input, k_dec
+
+    decoder_h, k_decs = jax.vmap(mk_h)(keys)               # [K, S, N, H]
+    tile = lambda a: jnp.broadcast_to(
+        a[None], (K,) + a.shape).reshape((K * a.shape[0],) + a.shape[1:])
+    pred = _decode(params["decoder"], cfg,
+                   decoder_h.reshape(K * S, N, -1), tile(end_pos),
+                   tile(last_rel), tile(group_end), tile(valid),
+                   k_decs[0], train, impl)
+    return pred.reshape(K, S, N, cfg.pred_len, 2)
+
+
 def generator_forward(
     params: dict,
     cfg: ModelConfig,
@@ -251,12 +305,18 @@ def generator_forward(
 
 def _decode(dec: dict, cfg: ModelConfig, h0: jnp.ndarray, last_pos,
             last_pos_rel, group_end, valid, key, train, impl) -> jnp.ndarray:
-    """Autoregressive decoder as a scan (reference Decoder, models.py:95-178).
+    """Autoregressive decoder (reference Decoder, models.py:95-178).
 
-    Carry: (h, c, last_pos, last_rel). Step: embed rel → LSTM cell →
-    hidden2pos → new rel; optional per-step re-pooling mixes the pool vector
-    back into h through an MLP (pool_every_timestep).
+    Without per-step re-pooling (the reference default and every shipped
+    checkpoint) the step is a pure linear-recurrence LSTM and runs through
+    :func:`_decode_folded` — one matmul of sequential depth per step instead
+    of three. With ``pool_every_timestep`` the pooling breaks the algebra and
+    the step-wise scan below runs instead: carry (h, c, pos, rel); step:
+    embed rel → LSTM cell → hidden2pos → new rel; re-pooling mixes the pool
+    vector back into h through an MLP.
     """
+    if not cfg.pool_every_timestep:
+        return _decode_folded(dec, cfg, h0, last_pos_rel, valid, impl)
     S, N, H = h0.shape
     flat = lambda a: a.reshape(S * N, *a.shape[3:]) if a.ndim > 3 else (
         a.reshape(S * N, *a.shape[2:]))
@@ -285,8 +345,71 @@ def _decode(dec: dict, cfg: ModelConfig, h0: jnp.ndarray, last_pos,
         return (h, c, new_pos, new_rel), new_rel
 
     init = (h, c, flat(last_pos), flat(last_pos_rel))
-    from grouptraj.ops.lstm import SCAN_UNROLL
+    from grouptraj.ops.lstm import scan_unroll
     _, rels = jax.lax.scan(step, init, keys,
-                           unroll=SCAN_UNROLL)                # [Tp, S*N, 2]
+                           unroll=scan_unroll())              # [Tp, S*N, 2]
     pred_rel = jnp.moveaxis(rels, 0, 1).reshape(S, N, cfg.pred_len, 2)
+    return pred_rel * valid[..., None, None]
+
+
+def _decode_folded(dec: dict, cfg: ModelConfig, h0: jnp.ndarray,
+                   last_pos_rel, valid, impl) -> jnp.ndarray:
+    """Sequential-depth-collapsed decoder (exact algebra, TPU hot path).
+
+    The reference decoder step (models.py:157-175, no per-step pooling) is
+    three chained linear maps around the gate nonlinearity:
+
+        inp_t   = rel_{t-1} @ W_e + b_e            (spatial_embedding)
+        gates_t = inp_t @ W_ih + h_{t-1} @ W_hh + b_ih + b_hh
+        rel_t   = h_t @ W_p + b_p                  (hidden2pos)
+
+    and rel_{t-1} for t ≥ 2 is itself an affine map of h_{t-1}, so the whole
+    step collapses to ONE matmul of sequential depth:
+
+        gates_t = h_{t-1} @ W_eff + b_eff
+        W_eff   = W_hh + W_p W_e W_ih
+        b_eff   = (b_p W_e + b_e) W_ih + b_ih + b_hh
+
+    (composition computed fresh each call, so autodiff reaches the original
+    parameters). Step 1 uses the observed last relative displacement; the
+    rels are recovered from the stacked hidden states with ONE batched
+    matmul after the recurrence. This cuts the decoder's sequential depth
+    from 3 matmuls + 2 affine maps per step to 1 matmul per step — the
+    ~3 %-MXU sequential-small-op bound named in ARCHITECTURE.md.
+    """
+    S, N, H = h0.shape
+    B = S * N
+    T = cfg.pred_len
+    w_e, b_e = dec["spatial_embedding"]["w"], dec["spatial_embedding"]["b"]
+    w_p, b_p = dec["hidden2pos"]["w"], dec["hidden2pos"]["b"]
+    lstm = dec["lstm"]
+    w_r = w_e @ lstm["w_ih"]                             # [2, 4H]
+    b_1 = b_e @ lstm["w_ih"] + lstm["b_ih"] + lstm["b_hh"]
+    w_eff = lstm["w_hh"] + w_p @ w_r                     # [H, 4H]
+    b_eff = b_p @ w_r + b_1
+
+    h = h0.reshape(B, H)
+    c = jnp.zeros_like(h)
+    rel0 = last_pos_rel.reshape(B, 2)
+    h1, c1 = lstm_gates(rel0 @ w_r + h @ lstm["w_hh"] + b_1, c, H)
+
+    if T > 1:
+        if impl == "fused" and jax.default_backend() == "tpu":
+            from grouptraj.ops.pallas_fused import decoder_recurrence_pallas
+            ys = decoder_recurrence_pallas(w_eff, b_eff, h1, c1, T - 1)
+        else:
+            from grouptraj.ops.lstm import scan_unroll
+
+            def step(carry, _):
+                hh, cc = carry
+                hh, cc = lstm_gates(hh @ w_eff + b_eff, cc, H)
+                return (hh, cc), hh
+
+            _, ys = jax.lax.scan(step, (h1, c1), None, length=T - 1,
+                                 unroll=scan_unroll())
+        hs = jnp.concatenate([h1[None], ys], axis=0)     # [T, B, H]
+    else:
+        hs = h1[None]
+    rels = hs @ w_p + b_p                                # [T, B, 2], one matmul
+    pred_rel = jnp.moveaxis(rels, 0, 1).reshape(S, N, T, 2)
     return pred_rel * valid[..., None, None]

@@ -24,7 +24,9 @@ import jax.numpy as jnp
 # Measured on the v5e training step (bench.py, zara1 Bo20 bucketed):
 # unroll 1 = 128 it/s, 4 = 90, 8 = 108 — unrolling only bloats the HLO at
 # these tiny per-step shapes, so the rolled loop stays the default.
-def _scan_unroll() -> int:
+# Read at call (trace) time so setting GROUPTRAJ_SCAN_UNROLL after import —
+# e.g. in a test or notebook — takes effect on the next trace.
+def scan_unroll() -> int:
     raw = os.environ.get("GROUPTRAJ_SCAN_UNROLL", "1")
     try:
         return max(1, int(raw))
@@ -34,21 +36,28 @@ def _scan_unroll() -> int:
         return 1
 
 
-SCAN_UNROLL = _scan_unroll()
-
-
 def select_impl(cfg, tcfg) -> str:
     """Pick the LSTM implementation from TrainConfig.
 
-    'auto' applies the measured v5e crossover (tools/pallas_bench.py; table
-    in ARCHITECTURE.md): the fused Pallas BPTT kernel wins fwd+bwd once any
-    hidden size reaches 64; at the reference's H = 32/48 XLA's lax.scan
-    wins. Non-TPU backends always use scan (the kernel is Mosaic-only).
+    Three TPU implementations (all numerically equivalent, tested):
+    - 'scan': XLA lax.scan with the input-gate products precomputed as one
+      big matmul (the cuDNN trick) — one [B,H]@[H,4H] matmul per step;
+    - 'pallas': the per-timestep-grid kernel (ops/pallas_lstm.py);
+    - 'fused': the single-grid-step kernels (ops/pallas_fused.py) — the
+      whole time loop in one kernel launch, weights + carry + slabs
+      VMEM-resident, used for BOTH the encoders and the folded decoder.
+
+    'auto' applies the measured v5e rule (tools/depth_bench.py, table in
+    ARCHITECTURE.md): lax.scan at the reference sizes (H ≤ 48) — after the
+    round-3 depth reductions the scan path's remaining per-step work is one
+    matmul and XLA wins at tiny H — and 'pallas' at H ≥ 64 where the
+    streaming per-timestep kernel's measured fwd+bwd win holds. Non-TPU
+    backends always use scan (the kernels are Mosaic-only).
     """
     impl = getattr(tcfg, "lstm_impl", "auto")
     if getattr(tcfg, "use_pallas", False):
         impl = "pallas"
-    if impl in ("scan", "pallas"):
+    if impl in ("scan", "pallas", "fused"):
         return impl if jax.default_backend() == "tpu" else "scan"
     if jax.default_backend() != "tpu":
         return "scan"
@@ -73,19 +82,26 @@ def init_lstm(key: jax.Array, d_in: int, d_hidden: int,
     }
 
 
+def lstm_gates(z: jnp.ndarray, c: jnp.ndarray, H: int
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gate nonlinearities for pre-activation gates z [..., 4H] (torch
+    i,f,g,o order) and cell c [..., H] -> (h', c')."""
+    i = jax.nn.sigmoid(z[..., 0 * H:1 * H])
+    f = jax.nn.sigmoid(z[..., 1 * H:2 * H])
+    g = jnp.tanh(z[..., 2 * H:3 * H])
+    o = jax.nn.sigmoid(z[..., 3 * H:4 * H])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
 def lstm_cell(params: dict, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One LSTM step. x [B, in], h/c [B, H] -> (h', c')."""
     H = h.shape[-1]
     gates = x @ params["w_ih"] + h @ params["w_hh"] + (
         params["b_ih"] + params["b_hh"])
-    i = jax.nn.sigmoid(gates[..., 0 * H:1 * H])
-    f = jax.nn.sigmoid(gates[..., 1 * H:2 * H])
-    g = jnp.tanh(gates[..., 2 * H:3 * H])
-    o = jax.nn.sigmoid(gates[..., 3 * H:4 * H])
-    c_new = f * c + i * g
-    h_new = o * jnp.tanh(c_new)
-    return h_new, c_new
+    return lstm_gates(gates, c, H)
 
 
 def lstm_scan(params: dict, xs: jnp.ndarray, h0: jnp.ndarray | None = None,
@@ -105,10 +121,20 @@ def lstm_scan(params: dict, xs: jnp.ndarray, h0: jnp.ndarray | None = None,
         from grouptraj.ops.pallas_lstm import lstm_scan_pallas
         return lstm_scan_pallas(params, xs, h0, c0)
 
-    def step(carry, x):
+    # Sequential-depth reduction (the cuDNN trick): the input-gate products
+    # x_t @ W_ih for ALL timesteps are one [T·B, in] @ [in, 4H] MXU matmul —
+    # XLA cannot hoist it out of the scan itself — leaving a single
+    # [B, H] @ [H, 4H] matmul + gate math per sequential step.
+    gx = xs @ params["w_ih"] + (params["b_ih"] + params["b_hh"])
+    if impl == "fused" and jax.default_backend() == "tpu":
+        from grouptraj.ops.pallas_fused import lstm_recurrence_pallas
+        ys, (hT, cT) = lstm_recurrence_pallas(params["w_hh"], gx, h0, c0)
+        return ys, (hT, cT)
+
+    def step(carry, g):
         h, c = carry
-        h, c = lstm_cell(params, x, h, c)
+        h, c = lstm_gates(g + h @ params["w_hh"], c, H)
         return (h, c), h
 
-    (hT, cT), ys = jax.lax.scan(step, (h0, c0), xs, unroll=SCAN_UNROLL)
+    (hT, cT), ys = jax.lax.scan(step, (h0, c0), gx, unroll=scan_unroll())
     return ys, (hT, cT)

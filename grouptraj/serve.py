@@ -22,7 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from grouptraj.config import ModelConfig
-from grouptraj.models import generator_forward
+from grouptraj.models.generator import (
+    generator_context, generator_sample_many,
+)
 from grouptraj.utils import relative_to_abs, round_up
 
 
@@ -60,9 +62,13 @@ class Predictor:
             @jax.jit
             def fn(params, obs, obs_rel, group, valid, key):
                 keys = jax.random.split(key, k)
-                preds = jax.vmap(lambda kk: generator_forward(
-                    params, cfg, obs, obs_rel, group, valid, kk,
-                    train=False))(keys)                 # [k, S, N, Tp, 2]
+                # context once (eval mode is deterministic), all k samples
+                # in one scene-tiled decode (generator_sample_many)
+                ctx = generator_context(params, cfg, obs, obs_rel, group,
+                                        valid, keys[0], train=False)
+                preds = generator_sample_many(
+                    params, cfg, ctx, obs, obs_rel, group, valid, keys,
+                    train=False)                        # [k, S, N, Tp, 2]
                 return relative_to_abs(preds, obs[:, :, -1, :][None])
 
             self._compiled[(S, N)] = fn

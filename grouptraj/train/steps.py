@@ -29,7 +29,9 @@ from grouptraj.models import (
     discriminator_forward, generator_forward, init_discriminator,
     init_generator,
 )
-from grouptraj.models.generator import generator_context, generator_sample
+from grouptraj.models.generator import (
+    generator_context, generator_sample_many,
+)
 from grouptraj.utils import relative_to_abs
 
 
@@ -161,9 +163,12 @@ def build_g_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
                 ctx = generator_context(
                     g_params, cfg, b["obs"], b["obs_rel"], b["group"],
                     b["valid"], sample_keys[0], impl=impl)
-                preds = jax.vmap(lambda k: generator_sample(
+                # all k samples in ONE scene-tiled decode (numerically
+                # identical to the per-key vmap, tested) — a single decoder
+                # recurrence at [k·S·N] batch instead of a k-batched vmap
+                preds = generator_sample_many(
                     g_params, cfg, ctx, b["obs"], b["obs_rel"], b["group"],
-                    b["valid"], k, impl=impl))(sample_keys)
+                    b["valid"], sample_keys, impl=impl)
             else:
                 preds = jax.vmap(lambda k: generator_forward(
                     g_params, cfg, b["obs"], b["obs_rel"], b["group"],

@@ -130,8 +130,10 @@ def build_parser(gcn_variant: bool = False) -> argparse.ArgumentParser:
                    help="force the fused Pallas LSTM kernels (legacy alias "
                         "for --lstm_impl pallas)")
     p.add_argument("--lstm_impl", default="auto",
-                   choices=["auto", "scan", "pallas"],
-                   help="LSTM implementation; auto picks by the measured "
+                   choices=["auto", "scan", "pallas", "fused"],
+                   help="LSTM implementation (scan = XLA, pallas = "
+                        "per-timestep-grid kernel, fused = whole-loop "
+                        "single-launch kernel); auto picks by the measured "
                         "size crossover (ARCHITECTURE.md)")
     p.add_argument("--num_devices", default=1, type=int,
                    help="data-parallel devices: 1 = single (default), "
