@@ -80,12 +80,15 @@ def bench_grouptraj(iters: int = 200, batch_size: int = 64,
     state = init_train_state(key, cfg, tcfg)
 
     def next_dispatch():
+        # device_put the indices NOW, outside the timed window: an implicit
+        # transfer inside the timed loop costs one tunnel round trip per
+        # dispatch, which on a degraded tunnel dominates the measurement
         if sched is not None:
             b, idx = sched.next_dispatch(chunk, 2)
-            return datas[b], jnp.asarray(idx)
-        return data, jnp.asarray(np.stack([
+            return datas[b], jax.device_put(jnp.asarray(idx))
+        return data, jax.device_put(jnp.asarray(np.stack([
             np.stack([next(stream) for _ in range(2)])
-            for _ in range(chunk)]))
+            for _ in range(chunk)])))
 
     # warmup/compile every bucket width with index 0 — always valid for any
     # bucket, and independent of which bucket the scheduler would pick next
@@ -158,9 +161,9 @@ def bench_serving(num_samples: int = 20, batch_size: int = 64):
     params = init_generator(jax.random.PRNGKey(0), cfg)
     step = make_eval_step(cfg, num_samples)
     args_list = [
-        (jnp.asarray(b.obs), jnp.asarray(b.obs_rel),
-         jnp.asarray(b.end_group), jnp.asarray(b.valid),
-         jnp.asarray(b.pred)) for b in batches]
+        jax.device_put((jnp.asarray(b.obs), jnp.asarray(b.obs_rel),
+                        jnp.asarray(b.end_group), jnp.asarray(b.valid),
+                        jnp.asarray(b.pred))) for b in batches]
     key = jax.random.PRNGKey(0)
     key, sub = jax.random.split(key)
     np.asarray(step(params, *args_list[0], sub)[0])     # compile + sync

@@ -398,15 +398,8 @@ def _decode_folded(dec: dict, cfg: ModelConfig, h0: jnp.ndarray,
             from grouptraj.ops.pallas_fused import decoder_recurrence_pallas
             ys = decoder_recurrence_pallas(w_eff, b_eff, h1, c1, T - 1)
         else:
-            from grouptraj.ops.lstm import scan_unroll
-
-            def step(carry, _):
-                hh, cc = carry
-                hh, cc = lstm_gates(hh @ w_eff + b_eff, cc, H)
-                return (hh, cc), hh
-
-            _, ys = jax.lax.scan(step, (h1, c1), None, length=T - 1,
-                                 unroll=scan_unroll())
+            from grouptraj.ops.lstm import decoder_recurrence
+            ys = decoder_recurrence(w_eff, b_eff, h1, c1, T - 1)
         hs = jnp.concatenate([h1[None], ys], axis=0)     # [T, B, H]
     else:
         hs = h1[None]

@@ -13,6 +13,7 @@ numerically equivalent (tested) and selected via ``impl='pallas'``.
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 from typing import Tuple
@@ -104,6 +105,140 @@ def lstm_cell(params: dict, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray
     return lstm_gates(gates, c, H)
 
 
+def _gate_acts(z, H):
+    i = jax.nn.sigmoid(z[..., 0 * H:1 * H])
+    f = jax.nn.sigmoid(z[..., 1 * H:2 * H])
+    g = jnp.tanh(z[..., 2 * H:3 * H])
+    o = jax.nn.sigmoid(z[..., 3 * H:4 * H])
+    return i, f, g, o
+
+
+def _gate_bwd(z, c_prev, dh, dc_in, H):
+    """(dz, dc_prev-chain) for one step, gates recomputed from z."""
+    i, f, g, o = _gate_acts(z, H)
+    c = f * c_prev + i * g
+    tc = jnp.tanh(c)
+    do = dh * tc
+    dc = dc_in + dh * o * (1.0 - tc * tc)
+    dz = jnp.concatenate([
+        dc * g * i * (1.0 - i), dc * c_prev * f * (1.0 - f),
+        dc * i * (1.0 - g * g), do * o * (1.0 - o)], axis=-1)
+    return dz, dc * f
+
+
+@jax.custom_vjp
+def lstm_recurrence(w_hh, gx, h0, c0):
+    """Recurrent half of an LSTM with precomputed input gates.
+
+    gx [T, B, 4H] already holds ``x_t @ W_ih + b``; returns
+    (ys [T, B, H], hT, cT). The point of the custom VJP: XLA's autodiff of
+    the scan accumulates ``dW_hh += h_{t-1}ᵀ dz_t`` INSIDE the loop — a
+    heavy [H, B] @ [B, 4H] matmul of sequential depth per step — and saves
+    4H-wide intermediates. This backward instead runs a reverse scan that
+    only chains (dh, dc) (one light matmul per step, gates recomputed from
+    the saved states), emits dz per step, and forms dW_hh/dgx with ONE
+    batched matmul after the loop. Same math (tested); roughly halves the
+    backward's sequential matmul depth and its HBM residual traffic.
+    """
+    return _lstm_recurrence_fwd(w_hh, gx, h0, c0)[0]
+
+
+def _lstm_recurrence_fwd(w_hh, gx, h0, c0):
+    H = h0.shape[-1]
+
+    def step(carry, g):
+        h, c = carry
+        h, c = lstm_gates(g + h @ w_hh, c, H)
+        return (h, c), (h, c)
+
+    (hT, cT), (ys, cs) = jax.lax.scan(step, (h0, c0), gx,
+                                      unroll=scan_unroll())
+    return (ys, hT, cT), (w_hh, gx, h0, c0, ys, cs)
+
+
+def _lstm_recurrence_bwd(res, cts):
+    w_hh, gx, h0, c0, ys, cs = res
+    dys, dhT, dcT = cts
+    H = h0.shape[-1]
+    T, B = gx.shape[0], gx.shape[1]
+    hs_prev = jnp.concatenate([h0[None], ys[:-1]], axis=0)
+    cs_prev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
+
+    def bstep(carry, inp):
+        dh_next, dc_next = carry
+        g, h_prev, c_prev, dy = inp
+        z = g + h_prev @ w_hh                      # recompute (1 matmul)
+        dz, dc_chain = _gate_bwd(z, c_prev, dh_next + dy, dc_next, H)
+        dh_chain = jax.lax.dot_general(            # dz @ w_hhᵀ, no transpose
+            dz, w_hh, (((1,), (1,)), ((), ())))
+        return (dh_chain, dc_chain), dz
+
+    (dh0, dc0), dzs = jax.lax.scan(
+        bstep, (dhT, dcT), (gx, hs_prev, cs_prev, dys),
+        reverse=True, unroll=scan_unroll())
+    # weight gradient as ONE [H, T·B] @ [T·B, 4H] matmul after the loop
+    dw = jax.lax.dot_general(
+        hs_prev.reshape(T * B, H), dzs.reshape(T * B, 4 * H),
+        (((0,), (0,)), ((), ())))
+    return dw, dzs, dh0, dc0
+
+
+lstm_recurrence.defvjp(lambda w, gx, h0, c0: _lstm_recurrence_fwd(
+    w, gx, h0, c0), _lstm_recurrence_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def decoder_recurrence(w_eff, b_eff, h1, c1, T):
+    """T steps of the folded-decoder recurrence (constant input b_eff):
+    h,c evolve by ``gates = h @ W_eff + b_eff``; returns ys [T, B, H].
+    Same one-big-matmul backward as :func:`lstm_recurrence`."""
+    return _dec_recurrence_fwd(w_eff, b_eff, h1, c1, T)[0]
+
+
+def _dec_recurrence_fwd(w_eff, b_eff, h1, c1, T):
+    H = h1.shape[-1]
+
+    def step(carry, _):
+        h, c = carry
+        h, c = lstm_gates(h @ w_eff + b_eff, c, H)
+        return (h, c), (h, c)
+
+    (_, _), (ys, cs) = jax.lax.scan(step, (h1, c1), None, length=T,
+                                    unroll=scan_unroll())
+    return ys, (w_eff, b_eff, h1, c1, ys, cs)
+
+
+def _dec_recurrence_bwd(T, res, dys):
+    w_eff, b_eff, h1, c1, ys, cs = res
+    H = h1.shape[-1]
+    B = h1.shape[0]
+    hs_prev = jnp.concatenate([h1[None], ys[:-1]], axis=0)
+    cs_prev = jnp.concatenate([c1[None], cs[:-1]], axis=0)
+
+    def bstep(carry, inp):
+        dh_next, dc_next = carry
+        h_prev, c_prev, dy = inp
+        z = h_prev @ w_eff + b_eff
+        dz, dc_chain = _gate_bwd(z, c_prev, dh_next + dy, dc_next, H)
+        dh_chain = jax.lax.dot_general(
+            dz, w_eff, (((1,), (1,)), ((), ())))
+        return (dh_chain, dc_chain), dz
+
+    (dh1, dc1), dzs = jax.lax.scan(
+        bstep, (jnp.zeros_like(h1), jnp.zeros_like(c1)),
+        (hs_prev, cs_prev, dys), reverse=True, unroll=scan_unroll())
+    dw = jax.lax.dot_general(
+        hs_prev.reshape(T * B, H), dzs.reshape(T * B, 4 * H),
+        (((0,), (0,)), ((), ())))
+    db = jnp.sum(dzs, axis=(0, 1))
+    return dw, db, dh1, dc1
+
+
+decoder_recurrence.defvjp(
+    lambda w, b, h1, c1, T: _dec_recurrence_fwd(w, b, h1, c1, T),
+    _dec_recurrence_bwd)
+
+
 def lstm_scan(params: dict, xs: jnp.ndarray, h0: jnp.ndarray | None = None,
               c0: jnp.ndarray | None = None, impl: str = "scan"
               ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
@@ -131,10 +266,5 @@ def lstm_scan(params: dict, xs: jnp.ndarray, h0: jnp.ndarray | None = None,
         ys, (hT, cT) = lstm_recurrence_pallas(params["w_hh"], gx, h0, c0)
         return ys, (hT, cT)
 
-    def step(carry, g):
-        h, c = carry
-        h, c = lstm_gates(g + h @ params["w_hh"], c, H)
-        return (h, c), h
-
-    (hT, cT), ys = jax.lax.scan(step, (h0, c0), gx, unroll=scan_unroll())
+    ys, hT, cT = lstm_recurrence(params["w_hh"], gx, h0, c0)
     return ys, (hT, cT)

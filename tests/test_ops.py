@@ -261,3 +261,77 @@ def test_get_noise_types():
     assert float(u.min()) >= -1.0 and float(u.max()) <= 1.0
     with pytest.raises(ValueError):
         get_noise(KEY, (1,), "bogus")
+
+
+class TestRecurrenceCustomVJP:
+    """lstm_recurrence / decoder_recurrence: the one-big-matmul backward
+    must match plain autodiff through the naive scan."""
+
+    def _naive_lstm(self, w, gx, h0, c0):
+        from grouptraj.ops.lstm import lstm_gates
+        H = h0.shape[-1]
+
+        def step(carry, g):
+            h, c = carry
+            h, c = lstm_gates(g + h @ w, c, H)
+            return (h, c), h
+
+        (hT, cT), ys = jax.lax.scan(step, (h0, c0), gx)
+        return ys, hT, cT
+
+    def test_lstm_recurrence_grads_match_autodiff(self):
+        from grouptraj.ops.lstm import lstm_recurrence
+        T, B, H = 7, 12, 16
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        w = jax.random.normal(ks[0], (H, 4 * H)) * 0.3
+        gx = jax.random.normal(ks[1], (T, B, 4 * H)) * 0.5
+        h0 = jax.random.normal(ks[2], (B, H))
+        c0 = jax.random.normal(ks[3], (B, H))
+
+        def loss(fn):
+            def f(w, gx, h0, c0):
+                ys, hT, cT = fn(w, gx, h0, c0)
+                return jnp.sum(ys ** 2) + jnp.sum(jnp.sin(hT) * cT)
+            return f
+
+        want_v = loss(self._naive_lstm)(w, gx, h0, c0)
+        got_v = loss(lstm_recurrence)(w, gx, h0, c0)
+        np.testing.assert_allclose(float(got_v), float(want_v), rtol=1e-6)
+        g_want = jax.grad(loss(self._naive_lstm), argnums=(0, 1, 2, 3))(
+            w, gx, h0, c0)
+        g_got = jax.grad(loss(lstm_recurrence), argnums=(0, 1, 2, 3))(
+            w, gx, h0, c0)
+        for a, b in zip(g_want, g_got):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_decoder_recurrence_grads_match_autodiff(self):
+        from grouptraj.ops.lstm import decoder_recurrence, lstm_gates
+        T, B, H = 9, 10, 16
+        ks = jax.random.split(jax.random.PRNGKey(1), 4)
+        w = jax.random.normal(ks[0], (H, 4 * H)) * 0.3
+        b = jax.random.normal(ks[1], (4 * H,)) * 0.1
+        h1 = jax.random.normal(ks[2], (B, H))
+        c1 = jax.random.normal(ks[3], (B, H))
+
+        def naive(w, b, h1, c1):
+            def step(carry, _):
+                h, c = carry
+                h, c = lstm_gates(h @ w + b, c, H)
+                return (h, c), h
+            _, ys = jax.lax.scan(step, (h1, c1), None, length=T)
+            return ys
+
+        def loss(fn):
+            return lambda w, b, h1, c1: jnp.sum(jnp.cos(fn(w, b, h1, c1)))
+
+        got = decoder_recurrence(w, b, h1, c1, T)
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(naive(w, b, h1, c1)),
+                                   rtol=1e-6, atol=1e-6)
+        g_want = jax.grad(loss(naive), argnums=(0, 1, 2, 3))(w, b, h1, c1)
+        g_got = jax.grad(loss(lambda w, b, h1, c1: decoder_recurrence(
+            w, b, h1, c1, T)), argnums=(0, 1, 2, 3))(w, b, h1, c1)
+        for a, bb in zip(g_want, g_got):
+            np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                       rtol=1e-4, atol=1e-6)
