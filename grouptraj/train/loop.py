@@ -26,8 +26,8 @@ from grouptraj.data import DenseDataset, DenseLoader, TrajectoryDataset
 from grouptraj.train import checkpoint as ckpt_lib
 from grouptraj.train.device_data import IndexStream, device_dataset
 from grouptraj.train.steps import (
-    check_accuracy, init_train_state,
-    make_check_accuracy_step, make_train_chunk,
+    init_train_state, make_check_accuracy_sweep, make_train_chunk,
+    summarize_check_accuracy,
 )
 from grouptraj.utils import device_sync, get_dset_path, round_up
 
@@ -54,6 +54,18 @@ def build_loaders(cfg: ModelConfig, tcfg: TrainConfig):
     return train_dset, train_loader, val_loader
 
 
+def _sweep_indices(num_seq: int, batch_size: int,
+                   order: Optional[np.ndarray] = None) -> np.ndarray:
+    """[n_batches, batch_size] int32 scene indices covering ``order`` (or
+    0..num_seq), the partial tail padded with the null-scene index."""
+    if order is None:
+        order = np.arange(num_seq)
+    nb = max(1, -(-len(order) // batch_size))
+    pad = nb * batch_size - len(order)
+    full = np.concatenate([order, np.full(pad, num_seq, dtype=order.dtype)])
+    return full.astype(np.int32).reshape(nb, batch_size)
+
+
 def train(cfg: ModelConfig, tcfg: TrainConfig,
           args_snapshot: Optional[dict] = None) -> dict:
     """Run training; returns the final checkpoint dict."""
@@ -67,14 +79,14 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
     # inserts the gradient all-reduce.
     n_dev = tcfg.num_devices if tcfg.num_devices > 0 else len(jax.devices())
     mesh = None
-    batch_shard = None     # per-batch scene-axis sharding (eval loaders)
     idx_shard = None       # [chunk, spi, S] scene-index sharding (train)
+    idx_shard_2d = None    # [n_batches, S] sharding (metric sweeps)
     data_sharding = None   # replicated dataset
     if n_dev > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from grouptraj.parallel.mesh import (
-            DATA_AXIS, batch_sharding, make_mesh, replicated_sharding,
+            DATA_AXIS, make_mesh, replicated_sharding,
         )
         if len(jax.devices()) < n_dev:
             raise ValueError(
@@ -83,8 +95,8 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
             raise ValueError(
                 f"batch_size={tcfg.batch_size} must divide num_devices={n_dev}")
         mesh = make_mesh(n_dev)
-        batch_shard = batch_sharding(mesh)
         idx_shard = NamedSharding(mesh, P(None, None, DATA_AXIS))
+        idx_shard_2d = NamedSharding(mesh, P(None, DATA_AXIS))
         data_sharding = replicated_sharding(mesh)
         logger.info("Data-parallel over %d devices (%s)", n_dev,
                     mesh.devices[0].platform)
@@ -95,7 +107,7 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
         num_iterations = int(iterations_per_epoch * tcfg.num_epochs)
     logger.info("There are %s iterations per epoch", iterations_per_epoch)
 
-    acc_step = make_check_accuracy_step(cfg, impl)
+    acc_sweep = make_check_accuracy_sweep(cfg, impl)
 
     key = jax.random.PRNGKey(tcfg.seed)
     key, k_init = jax.random.split(key)
@@ -128,6 +140,33 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
         ckpt["restore_ts"].append(t)
     else:
         ckpt = ckpt_lib.new_checkpoint(args_snapshot)
+
+    # ---- device-resident metric sweeps: val + (limited) train check_accuracy
+    # run as ONE dispatch each (make_check_accuracy_sweep) — a fused
+    # lax.scan over device-resident data, the same tunnel-latency fix the
+    # training chunk applies. Uploaded once; per-event host traffic is one
+    # small [n_batches, S] index array + one readback of the summed metrics.
+    val_data = device_dataset(val_loader.dense, cfg.obs_len,
+                              sharding=data_sharding)
+    train_eval_data = device_dataset(train_loader.dense, cfg.obs_len,
+                                     sharding=data_sharding)
+    val_idx_host = _sweep_indices(val_loader.dense.num_seq, tcfg.batch_size)
+    eval_rng = np.random.default_rng(tcfg.seed + 7919)
+    # fixed shuffled-subset size covering ~num_samples_check valid trajs
+    # (fixed so every event reuses one compiled sweep shape)
+    valid_per_scene = train_loader.dense.valid.sum(axis=1)
+    csum = np.cumsum(valid_per_scene[eval_rng.permutation(
+        train_loader.dense.num_seq)])
+    need = int(np.searchsorted(csum, tcfg.num_samples_check) + 1)
+    nb_limit = max(1, -(-min(need, train_loader.dense.num_seq)
+                        // tcfg.batch_size))
+
+    def run_sweep(data, idx_host, key, n_batches, pred_len):
+        idx = (jax.device_put(idx_host, idx_shard_2d)
+               if idx_shard is not None else jnp.asarray(idx_host))
+        sums = acc_sweep(state, data, idx, key)
+        sums = {k: float(v) for k, v in jax.device_get(sums).items()}
+        return summarize_check_accuracy(sums, n_batches, pred_len)
 
     # Per-iteration grad norms stay ON DEVICE and drain in bulk at print /
     # checkpoint events: the device is behind an async queue (possibly a
@@ -268,13 +307,15 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
             ckpt["sample_ts"].append(t)
             key, k1, k2 = jax.random.split(key, 3)
             logger.info("Checking stats on val ...")
-            metrics_val = check_accuracy(tcfg, val_loader, state,
-                                         acc_step, k1,
-                                         batch_sharding=batch_shard)
+            metrics_val = run_sweep(val_data, val_idx_host, k1,
+                                    len(val_idx_host), cfg.pred_len)
             logger.info("Checking stats on train ...")
-            metrics_train = check_accuracy(tcfg, train_loader, state,
-                                           acc_step, k2, limit=True,
-                                           batch_sharding=batch_shard)
+            train_idx = _sweep_indices(
+                train_loader.dense.num_seq, tcfg.batch_size,
+                order=eval_rng.permutation(
+                    train_loader.dense.num_seq))[:nb_limit]
+            metrics_train = run_sweep(train_eval_data, train_idx, k2,
+                                      nb_limit, cfg.pred_len)
             for k, v in sorted(metrics_val.items()):
                 logger.info("  [val] %s: %.3f", k, v)
                 ckpt["metrics_val"][k].append(v)

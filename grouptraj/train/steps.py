@@ -294,6 +294,63 @@ def make_check_accuracy_step(cfg: ModelConfig, impl: str = "scan") -> Callable:
     return step
 
 
+def make_check_accuracy_sweep(cfg: ModelConfig, impl: str = "scan"
+                              ) -> Callable:
+    """The whole check_accuracy loader pass in ONE dispatch.
+
+    Returns a jitted ``(state, data, idx, key) -> sums`` where ``data`` is a
+    :func:`grouptraj.train.device_data.device_dataset` dict and ``idx`` is
+    ``[n_batches, S]`` int32 scene indices (null-scene-padded tails). A
+    ``lax.scan`` runs the per-batch metric step over all batches and
+    accumulates the raw sums on device — one host round trip per sweep
+    instead of one per batch, the same tunnel-latency fix the training
+    chunk applies (``make_train_chunk``). Metrics identical to the
+    per-batch path: every sum is over per-scene quantities and the null
+    scene contributes exactly zero (masked everywhere); d_loss is averaged
+    by the true batch count outside.
+    """
+    from grouptraj.train.device_data import gather_batch
+
+    raw = make_check_accuracy_step(cfg, impl)
+
+    @jax.jit
+    def sweep(state: TrainState, data, idx: jnp.ndarray, key: jax.Array):
+        keys = jax.random.split(key, idx.shape[0])
+        # prime with the first batch to get the accumulator structure, scan
+        # the rest (scan of length 0 is fine for single-batch sweeps)
+        first = raw(state, gather_batch(data, idx[0], cfg.obs_len), keys[0])
+        acc, _ = jax.lax.scan(
+            lambda a, xs: (jax.tree_util.tree_map(
+                jnp.add, a, raw(state, gather_batch(data, xs[0],
+                                                    cfg.obs_len), xs[1])),
+                None),
+            first, (idx[1:], keys[1:]))
+        return acc
+
+    return sweep
+
+
+def summarize_check_accuracy(sums: Dict[str, float], n_batches: int,
+                             pred_len: int) -> Dict[str, float]:
+    """Normalize raw metric sums (reference ``train.py:487-568``):
+    d_loss averaged per batch; ADE = Σ/(total_traj·pred_len),
+    FDE = Σ/total_traj; _l/_nl variants guarded for empty classes."""
+    d_loss_mean = sums.pop("d_loss") / max(n_batches, 1)
+    tt, tl, tnl = (sums["total_traj"], sums["total_traj_l"],
+                   sums["total_traj_nl"])
+    return {
+        "d_loss": d_loss_mean,
+        "g_l2_loss_abs": sums["g_l2_loss_abs"] / max(sums["loss_mask_sum"], 1),
+        "g_l2_loss_rel": sums["g_l2_loss_rel"] / max(sums["loss_mask_sum"], 1),
+        "ade": sums["disp_error"] / max(tt * pred_len, 1),
+        "fde": sums["f_disp_error"] / max(tt, 1),
+        "ade_l": sums["disp_error_l"] / (tl * pred_len) if tl else 0,
+        "fde_l": sums["f_disp_error_l"] / tl if tl else 0,
+        "ade_nl": sums["disp_error_nl"] / (tnl * pred_len) if tnl else 0,
+        "fde_nl": sums["f_disp_error_nl"] / tnl if tnl else 0,
+    }
+
+
 def check_accuracy(args, loader, state: TrainState, step_fn, key: jax.Array,
                    limit: bool = False, batch_sharding=None
                    ) -> Dict[str, float]:
@@ -323,19 +380,4 @@ def check_accuracy(args, loader, state: TrainState, step_fn, key: jax.Array,
         if limit and seen_traj >= args.num_samples_check:
             break
     sums = {k: float(v) for k, v in jax.device_get(acc).items()}
-    d_loss_mean = sums.pop("d_loss") / max(n_batches, 1)
-    pred_len = loader.dense.pred_len
-    tt, tl, tnl = (sums["total_traj"], sums["total_traj_l"],
-                   sums["total_traj_nl"])
-    metrics = {
-        "d_loss": d_loss_mean,
-        "g_l2_loss_abs": sums["g_l2_loss_abs"] / max(sums["loss_mask_sum"], 1),
-        "g_l2_loss_rel": sums["g_l2_loss_rel"] / max(sums["loss_mask_sum"], 1),
-        "ade": sums["disp_error"] / max(tt * pred_len, 1),
-        "fde": sums["f_disp_error"] / max(tt, 1),
-        "ade_l": sums["disp_error_l"] / (tl * pred_len) if tl else 0,
-        "fde_l": sums["f_disp_error_l"] / tl if tl else 0,
-        "ade_nl": sums["disp_error_nl"] / (tnl * pred_len) if tnl else 0,
-        "fde_nl": sums["f_disp_error_nl"] / tnl if tnl else 0,
-    }
-    return metrics
+    return summarize_check_accuracy(sums, n_batches, loader.dense.pred_len)
