@@ -8,3 +8,4 @@ from grouptraj.train.checkpoint import (  # noqa: F401
     state_from_checkpoint, checkpoint_from_state,
 )
 from grouptraj.train.loop import train  # noqa: F401
+from grouptraj.train.multi import train_many  # noqa: F401

@@ -1,0 +1,281 @@
+"""Vmapped multi-seed training: N independent GAN replicas in one dispatch.
+
+A capability the reference cannot express: its seed sweeps rerun
+``scripts/train.py`` N times (reference ``scripts/train.py:142-392`` is a
+stateful torch loop over one model). Here the whole train state is a pytree
+and every step is a pure function, so N seeds train as ONE program:
+``jax.vmap`` over :func:`grouptraj.train.steps.build_train_chunk` adds a
+leading seed axis to params/optimizer state and the per-seed RNG keys while
+the device-resident dataset and the dispatch's scene-index arrays broadcast.
+Every matmul in the step gets N× wider — on a step that is bound by
+sequential depth, not FLOPs (ARCHITECTURE.md "Sequential-depth reduction"),
+the extra seeds ride along nearly free, which is what makes the model zoo's
+seed sweeps (MODEL_ZOO.md, PROVENANCE.json) cheap.
+
+Semantics vs. N sequential runs: identical per-seed model/optimizer updates
+EXCEPT that all seeds share one batch order (the scheduler is seeded by
+``TrainConfig.seed``, not the per-replica seeds — one index stream feeds
+every replica). Init, noise draws, and label smoothing stay per-seed. For
+sweep purposes (hunting a good checkpoint) this is the point; a run's true
+provenance is recorded in its args snapshot (``seed`` + ``sweep_seeds``).
+
+Checkpoints: each seed writes the standard dual checkpoint files to
+``<output_dir>/s<seed>/`` with the usual best-state tracking, so
+``scripts/evaluate_model.py --use_best 1`` works unchanged on every member.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grouptraj.config import ModelConfig, TrainConfig
+from grouptraj.train import checkpoint as ckpt_lib
+from grouptraj.train.device_data import IndexStream, device_dataset
+from grouptraj.train.loop import _sweep_indices, build_loaders
+from grouptraj.train.steps import (
+    build_check_accuracy_sweep, build_train_chunk, init_train_state,
+    summarize_check_accuracy,
+)
+from grouptraj.utils import device_sync
+
+logger = logging.getLogger(__name__)
+
+
+@jax.jit
+def _split_keys(key_vec: jax.Array):
+    """[n,2] key vector -> (new [n,2] vector, [n,2] subkeys)."""
+    ks = jax.vmap(lambda k: jax.random.split(k, 2))(key_vec)
+    return ks[:, 0], ks[:, 1]
+
+
+def train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
+               args_snapshot: Optional[dict] = None) -> Dict[int, dict]:
+    """Train one replica per seed simultaneously; returns {seed: ckpt}."""
+    from grouptraj.ops.lstm import select_impl
+
+    if len(set(seeds)) != len(seeds):
+        raise ValueError(f"duplicate seeds: {seeds}")
+    if tcfg.num_devices > 1:
+        raise ValueError("train_many is single-device (the seed axis is the "
+                         "parallel axis); use --num_devices 1")
+    if tcfg.checkpoint_start_from:
+        raise ValueError("train_many does not support checkpoint restore "
+                         "(checkpoint_start_from); replicas always start "
+                         "fresh")
+    impl = select_impl(cfg, tcfg)
+    n_seeds = len(seeds)
+    train_dset, train_loader, val_loader = build_loaders(cfg, tcfg)
+
+    iterations_per_epoch = len(train_dset) / tcfg.batch_size / tcfg.d_steps
+    num_iterations = tcfg.num_iterations
+    if tcfg.num_epochs:
+        num_iterations = int(iterations_per_epoch * tcfg.num_epochs)
+    logger.info("There are %s iterations per epoch; %d seeds vmapped",
+                iterations_per_epoch, n_seeds)
+
+    # per-seed RNG chains: PRNGKey(seed) each, exactly as train() would
+    key_vec = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+    key_vec, init_keys = _split_keys(key_vec)
+    states = jax.jit(jax.vmap(
+        lambda k: init_train_state(k, cfg, tcfg)))(init_keys)
+
+    if args_snapshot is None:
+        import dataclasses
+        args_snapshot = {**dataclasses.asdict(cfg),
+                         **dataclasses.asdict(tcfg)}
+    ckpts = {}
+    for s in seeds:
+        snap = dict(args_snapshot)
+        snap["seed"] = s
+        snap["sweep_seeds"] = list(seeds)
+        ckpts[s] = ckpt_lib.new_checkpoint(snap)
+
+    # metric sweeps, vmapped over (state, key); data/idx broadcast
+    vsweep = jax.jit(jax.vmap(build_check_accuracy_sweep(cfg, impl),
+                              in_axes=(0, None, None, 0)))
+    val_data = device_dataset(val_loader.dense, cfg.obs_len)
+    train_eval_data = device_dataset(train_loader.dense, cfg.obs_len)
+    val_idx_host = _sweep_indices(val_loader.dense.num_seq, tcfg.batch_size)
+    eval_rng = np.random.default_rng(tcfg.seed + 7919)
+    valid_per_scene = train_loader.dense.valid.sum(axis=1)
+    csum = np.cumsum(valid_per_scene[eval_rng.permutation(
+        train_loader.dense.num_seq)])
+    need = int(np.searchsorted(csum, tcfg.num_samples_check) + 1)
+    nb_limit = max(1, -(-min(need, train_loader.dense.num_seq)
+                        // tcfg.batch_size))
+
+    def run_sweeps(data, idx_host, keys, n_batches, pred_len):
+        sums = jax.device_get(vsweep(states, data, jnp.asarray(idx_host),
+                                     keys))
+        return [summarize_check_accuracy(
+            {k: float(v[i]) for k, v in sums.items()}, n_batches, pred_len)
+            for i in range(n_seeds)]
+
+    # one shared batch schedule (see module docstring); buckets as in train()
+    import dataclasses
+    spi = tcfg.d_steps + tcfg.g_steps
+    chunk = max(1, tcfg.steps_per_dispatch)
+    if tcfg.n_max and tcfg.n_buckets > 1:
+        tcfg = dataclasses.replace(tcfg, n_buckets=1)
+    if tcfg.n_buckets > 1:
+        from grouptraj.data import DenseDataset
+        from grouptraj.train.device_data import BucketScheduler, make_buckets
+        buckets = make_buckets(train_dset, tcfg.n_buckets, tcfg.batch_size)
+        datas = [device_dataset(DenseDataset(train_dset, w, indices=idx),
+                                cfg.obs_len) for w, idx in buckets]
+        sched = BucketScheduler([len(idx) for _, idx in buckets],
+                                tcfg.batch_size, seed=tcfg.seed)
+        stream = None
+        logger.info("Scene-size buckets (width, scenes): %s",
+                    [(w, len(i)) for w, i in buckets])
+    else:
+        data = device_dataset(train_loader.dense, cfg.obs_len)
+        stream = IndexStream(train_loader.dense.num_seq, tcfg.batch_size,
+                             seed=tcfg.seed, shuffle=True)
+        index_iter = iter(stream)
+
+    runners = {}
+
+    def get_runner(c):
+        if c not in runners:
+            runners[c] = jax.jit(jax.vmap(
+                build_train_chunk(cfg, tcfg, impl, c),
+                in_axes=(0, None, None, 0)))
+        return runners[c]
+
+    def snapshot_states():
+        """One bulk readback; per-seed TrainState slices."""
+        host = jax.device_get(states)
+        return [jax.tree_util.tree_map(lambda x: x[i], host)
+                for i in range(n_seeds)]
+
+    # per-iteration grad norms stay on device between print/checkpoint
+    # events (same tunnel-latency discipline as loop.py drain_norms)
+    pending_norm_d, pending_norm_g = [], []
+
+    def drain_norms():
+        for pending, field in ((pending_norm_d, "norm_d"),
+                               (pending_norm_g, "norm_g")):
+            if pending:
+                host = [np.asarray(v) for v in jax.device_get(pending)]
+                cat = np.concatenate(host, axis=1)  # [n_seeds, total]
+                for i, s in enumerate(seeds):
+                    ckpts[s][field].extend(cat[i].astype(float).tolist())
+                pending.clear()
+
+    t = 0
+    t0 = time.time()
+    logged_epoch = 0
+    t_window_start, window_t0 = 0, time.time()
+    while t < num_iterations:
+        this_chunk = min(chunk, num_iterations - t)
+        if stream is None:
+            bucket_id, idx = sched.next_dispatch(this_chunk, spi)
+            data = datas[bucket_id]
+            cur_epoch = sched.epoch
+        else:
+            idx = np.stack([
+                np.stack([next(index_iter) for _ in range(spi)])
+                for _ in range(this_chunk)])
+            cur_epoch = stream.epoch
+        if cur_epoch != logged_epoch:
+            logged_epoch = cur_epoch
+            logger.info("Starting epoch %d", logged_epoch)
+
+        key_vec, subs = _split_keys(key_vec)
+        states, losses = get_runner(this_chunk)(states, data,
+                                                jnp.asarray(idx), subs)
+        if "norm_d" in losses:
+            pending_norm_d.append(losses["norm_d"])  # [n_seeds, chunk]
+        if "norm_g" in losses:
+            pending_norm_g.append(losses["norm_g"])
+        t_prev = t
+        t += this_chunk
+
+        if t_prev // tcfg.print_every != t // tcfg.print_every:
+            drain_norms()
+            host_losses = jax.device_get(losses)  # [n_seeds, chunk] each
+            dt = time.time() - window_t0
+            steps = t - t_window_start
+            logger.info(
+                "t = %d / %d (%.2f iters/s x %d seeds = %.2f seed-iters/s)",
+                t, num_iterations, steps / dt if dt > 0 else 0, n_seeds,
+                steps * n_seeds / dt if dt > 0 else 0)
+            t_window_start, window_t0 = t, time.time()
+            for lk in sorted(host_losses):
+                if lk.startswith(("D_", "G_")):
+                    vals = np.asarray(host_losses[lk])[:, -1]
+                    logger.info("  %s: %s", lk,
+                                np.round(vals.astype(float), 3).tolist())
+            for i, s in enumerate(seeds):
+                for lk, v in host_losses.items():
+                    row = float(np.asarray(v)[i, -1])
+                    if lk.startswith("D_"):
+                        ckpts[s]["D_losses"][lk].append(row)
+                    elif lk.startswith("G_"):
+                        ckpts[s]["G_losses"][lk].append(row)
+                ckpts[s]["losses_ts"].append(t)
+
+        if t_prev // tcfg.checkpoint_every != t // tcfg.checkpoint_every:
+            drain_norms()
+            key_vec, k1 = _split_keys(key_vec)
+            key_vec, k2 = _split_keys(key_vec)
+            logger.info("Checking stats on val ...")
+            mvals = run_sweeps(val_data, val_idx_host, k1,
+                               len(val_idx_host), cfg.pred_len)
+            train_idx = _sweep_indices(
+                train_loader.dense.num_seq, tcfg.batch_size,
+                order=eval_rng.permutation(
+                    train_loader.dense.num_seq))[:nb_limit]
+            mtrains = run_sweeps(train_eval_data, train_idx, k2,
+                                 nb_limit, cfg.pred_len)
+            per_seed_states = snapshot_states()
+            for i, s in enumerate(seeds):
+                ck = ckpts[s]
+                ck["counters"]["t"] = t
+                ck["counters"]["epoch"] = logged_epoch
+                ck["sample_ts"].append(t)
+                for k, v in sorted(mvals[i].items()):
+                    ck["metrics_val"][k].append(v)
+                for k, v in sorted(mtrains[i].items()):
+                    ck["metrics_train"][k].append(v)
+                ck = ckpt_lib.checkpoint_from_state(ck, per_seed_states[i])
+                if mvals[i]["ade"] == min(ck["metrics_val"]["ade"]):
+                    ck["best_t"] = t
+                    ck["g_best_state"] = ck["g_state"]
+                    ck["d_best_state"] = ck["d_state"]
+                if mvals[i]["ade_nl"] == min(ck["metrics_val"]["ade_nl"]):
+                    ck["best_t_nl"] = t
+                    ck["g_best_nl_state"] = ck["g_state"]
+                    ck["d_best_nl_state"] = ck["d_state"]
+                ckpt_lib.save_checkpoint(
+                    ck, os.path.join(tcfg.output_dir, f"s{s}"),
+                    tcfg.checkpoint_name)
+            logger.info("val ADE per seed: %s",
+                        {s: round(mvals[i]["ade"], 3)
+                         for i, s in enumerate(seeds)})
+            window_t0, t_window_start = time.time(), t
+
+    device_sync()
+    drain_norms()
+    logger.info("Training done in %.1fs (%d seeds)", time.time() - t0,
+                n_seeds)
+    per_seed_states = snapshot_states()
+    for i, s in enumerate(seeds):
+        ck = ckpts[s]
+        ck["counters"]["t"] = t
+        ck["counters"]["epoch"] = logged_epoch
+        ck = ckpt_lib.checkpoint_from_state(ck, per_seed_states[i])
+        if ck.get("g_best_state") is None:
+            ck["g_best_state"] = ck["g_state"]
+            ck["d_best_state"] = ck["d_state"]
+        ckpt_lib.save_checkpoint(ck, os.path.join(tcfg.output_dir, f"s{s}"),
+                                 tcfg.checkpoint_name)
+    return ckpts

@@ -198,25 +198,18 @@ def make_g_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
     return jax.jit(build_g_step(cfg, tcfg, impl))
 
 
-def make_train_chunk(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan",
-                     chunk: int = 8) -> Callable:
-    """K training iterations per dispatch over a device-resident dataset.
-
-    The returned jitted function takes ``(state, data, idx, key)`` where
-    ``data`` is the :func:`grouptraj.train.device_data.device_dataset` dict
-    and ``idx`` is ``[chunk, d_steps+g_steps, S]`` int32 scene indices — the
-    only per-dispatch host->device traffic. A ``lax.scan`` alternates the
-    reference's d/g schedule; all per-iteration losses come back stacked
-    ``[chunk]`` so logging is unchanged. Semantically identical updates to
-    the unchunked path, minus per-step dispatch/transfer latency (the
-    bottleneck on a tunneled TPU).
+def build_train_chunk(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan",
+                      chunk: int = 8) -> Callable:
+    """Unjitted body of :func:`make_train_chunk` — K training iterations
+    over a device-resident dataset as ``(state, data, idx, key) ->
+    (state, losses)``. Kept separate so callers can compose transforms
+    (``jax.vmap`` for the multi-seed trainer) before jitting.
     """
     from grouptraj.train.device_data import gather_batch
 
     d_raw = build_d_step(cfg, tcfg, impl)
     g_raw = build_g_step(cfg, tcfg, impl)
 
-    @jax.jit
     def run(state: TrainState, data, idx, key: jax.Array):
         keys = jax.random.split(key, chunk)
 
@@ -239,6 +232,22 @@ def make_train_chunk(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan",
         return state, losses
 
     return run
+
+
+def make_train_chunk(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan",
+                     chunk: int = 8) -> Callable:
+    """K training iterations per dispatch over a device-resident dataset.
+
+    The returned jitted function takes ``(state, data, idx, key)`` where
+    ``data`` is the :func:`grouptraj.train.device_data.device_dataset` dict
+    and ``idx`` is ``[chunk, d_steps+g_steps, S]`` int32 scene indices — the
+    only per-dispatch host->device traffic. A ``lax.scan`` alternates the
+    reference's d/g schedule; all per-iteration losses come back stacked
+    ``[chunk]`` so logging is unchanged. Semantically identical updates to
+    the unchunked path, minus per-step dispatch/transfer latency (the
+    bottleneck on a tunneled TPU).
+    """
+    return jax.jit(build_train_chunk(cfg, tcfg, impl, chunk))
 
 
 def make_check_accuracy_step(cfg: ModelConfig, impl: str = "scan") -> Callable:
@@ -309,11 +318,17 @@ def make_check_accuracy_sweep(cfg: ModelConfig, impl: str = "scan"
     scene contributes exactly zero (masked everywhere); d_loss is averaged
     by the true batch count outside.
     """
+    return jax.jit(build_check_accuracy_sweep(cfg, impl))
+
+
+def build_check_accuracy_sweep(cfg: ModelConfig, impl: str = "scan"
+                               ) -> Callable:
+    """Unjitted body of :func:`make_check_accuracy_sweep`, composable with
+    ``jax.vmap`` (multi-seed trainer)."""
     from grouptraj.train.device_data import gather_batch
 
     raw = make_check_accuracy_step(cfg, impl)
 
-    @jax.jit
     def sweep(state: TrainState, data, idx: jnp.ndarray, key: jax.Array):
         keys = jax.random.split(key, idx.shape[0])
         # prime with the first batch to get the accumulator structure, scan

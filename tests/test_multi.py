@@ -1,0 +1,128 @@
+"""Multi-seed vmapped trainer (grouptraj/train/multi.py).
+
+Verifies the core claim — N vmapped replicas compute exactly the updates N
+independent single-seed chunk runners would, given the same per-seed keys
+and the shared batch schedule — plus the end-to-end train_many path
+(per-seed checkpoints, best-state tracking, divergent replicas).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grouptraj.config import ModelConfig, TrainConfig
+from grouptraj.data import DenseDataset, TrajectoryDataset
+from grouptraj.train.device_data import device_dataset
+from grouptraj.train.steps import build_train_chunk, init_train_state
+from grouptraj.train.multi import train_many
+
+
+@pytest.fixture
+def data_root(tmp_path, monkeypatch):
+    rng = np.random.default_rng(0)
+    for split, nframes in (("train", 40), ("val", 25)):
+        d = tmp_path / "toy" / split
+        d.mkdir(parents=True)
+        rows = []
+        for t in range(nframes):
+            for p in (1, 2, 3, 4):
+                x = 0.1 * t + p + 0.01 * rng.standard_normal()
+                y = 0.05 * t - p
+                rows.append(f"{t*10.0}\t{p}.0\t{x:.4f}\t{y:.4f}\t{p % 2}.0")
+        (d / "toy.txt").write_text("\n".join(rows) + "\n")
+    monkeypatch.setenv("GROUPTRAJ_DATA_DIR", str(tmp_path))
+    return tmp_path
+
+
+def _tree_allclose(a, b, atol):
+    flat_a = jax.tree_util.tree_leaves(a)
+    flat_b = jax.tree_util.tree_leaves(b)
+    assert len(flat_a) == len(flat_b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol,
+                                   rtol=0)
+
+
+def test_vmapped_chunk_matches_per_seed(data_root):
+    """vmap(build_train_chunk) over the seed axis == per-seed runs."""
+    cfg = ModelConfig()
+    tcfg = TrainConfig(dataset_name="toy", batch_size=4, best_k=2)
+    from grouptraj.utils import get_dset_path
+    dset = TrajectoryDataset(get_dset_path("toy", "train"), cfg.obs_len,
+                             cfg.pred_len)
+    data = device_dataset(DenseDataset(dset, 8), cfg.obs_len)
+
+    chunk, spi = 2, tcfg.d_steps + tcfg.g_steps
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, len(dset), size=(chunk, spi, 4)).astype(np.int32)
+
+    seeds = [11, 12, 13]
+    init_keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+    step_keys = jnp.stack([jax.random.PRNGKey(100 + s) for s in seeds])
+    states = jax.vmap(lambda k: init_train_state(k, cfg, tcfg))(init_keys)
+
+    run = build_train_chunk(cfg, tcfg, "scan", chunk)
+    vstates, vlosses = jax.jit(jax.vmap(run, in_axes=(0, None, None, 0)))(
+        states, data, jnp.asarray(idx), step_keys)
+
+    for i, _ in enumerate(seeds):
+        state_i = jax.tree_util.tree_map(lambda x: x[i], states)
+        ref_state, ref_losses = jax.jit(run)(state_i, data,
+                                             jnp.asarray(idx), step_keys[i])
+        _tree_allclose(jax.tree_util.tree_map(lambda x: x[i], vstates),
+                       ref_state, atol=2e-5)
+        for k in ref_losses:
+            np.testing.assert_allclose(np.asarray(vlosses[k])[i],
+                                       np.asarray(ref_losses[k]), atol=2e-5,
+                                       rtol=0)
+
+
+def test_train_many_e2e(data_root, tmp_path):
+    out = str(tmp_path / "sweep")
+    cfg = ModelConfig()
+    tcfg = TrainConfig(dataset_name="toy", batch_size=4, num_epochs=0,
+                       num_iterations=4, checkpoint_every=2, print_every=1,
+                       best_k=2, output_dir=out, checkpoint_name="ck",
+                       num_samples_check=50, steps_per_dispatch=2)
+    seeds = [5, 6]
+    ckpts = train_many(cfg, tcfg, seeds)
+    assert set(ckpts) == set(seeds)
+    g_flat = {}
+    for s in seeds:
+        ck = ckpts[s]
+        assert ck["counters"]["t"] == 4
+        assert len(ck["metrics_val"]["ade"]) >= 1
+        assert ck["g_best_state"] is not None
+        assert len(ck["norm_g"]) >= 1 and np.isfinite(ck["norm_g"]).all()
+        assert ck["args"]["seed"] == s
+        assert ck["args"]["sweep_seeds"] == seeds
+        path = os.path.join(out, f"s{s}", "ck_with_model.pt")
+        assert os.path.exists(path)
+        # reloads through the standard checkpoint/eval path
+        from grouptraj.compat import import_generator
+        from grouptraj.train.checkpoint import load_checkpoint
+        loaded = load_checkpoint(path)
+        params = import_generator(loaded["g_best_state"])
+        g_flat[s] = np.concatenate([np.ravel(x) for x in
+                                    jax.tree_util.tree_leaves(params)])
+    # replicas actually diverged (different init seeds)
+    assert not np.allclose(g_flat[seeds[0]], g_flat[seeds[1]])
+
+
+def test_train_many_rejects_bad_configs(data_root, tmp_path):
+    cfg = ModelConfig()
+    tcfg = TrainConfig(dataset_name="toy", batch_size=4, num_iterations=2,
+                       num_epochs=0, output_dir=str(tmp_path / "x"),
+                       num_devices=2)
+    with pytest.raises(ValueError, match="single-device"):
+        train_many(cfg, tcfg, [1, 2])
+    tcfg2 = TrainConfig(dataset_name="toy", batch_size=4, num_iterations=2,
+                        num_epochs=0, output_dir=str(tmp_path / "y"),
+                        checkpoint_start_from="some/ckpt.pt")
+    with pytest.raises(ValueError, match="restore"):
+        train_many(cfg, tcfg2, [1, 2])
+    with pytest.raises(ValueError, match="duplicate"):
+        train_many(cfg, TrainConfig(dataset_name="toy"), [1, 1])

@@ -4,6 +4,7 @@ Inputs: PARITY.json (tools/parity_eval.py), runs/<scene>/eval.log
 (scripts/evaluate_model.py output) and runs/<scene>/train.log.
 """
 
+import glob
 import json
 import os
 import re
@@ -18,6 +19,11 @@ REFERENCE_RECORDED = {
 UPSTREAM_SGAN_20V20 = {
     "eth": (0.71, 1.29), "hotel": (0.48, 1.02), "univ": (0.56, 1.18),
     "zara1": (0.34, 0.69), "zara2": (0.31, 0.64),
+}
+# ADE8/FDE8 from the same reference MODEL_ZOO.md table (SGAN-20V-20)
+UPSTREAM_SGAN_20V20_P8 = {
+    "eth": (0.58, 1.13), "hotel": (0.36, 0.71), "univ": (0.33, 0.70),
+    "zara1": (0.21, 0.42), "zara2": (0.21, 0.42),
 }
 
 
@@ -110,6 +116,41 @@ def main():
             "in `models/grouptraj/PROVENANCE.json`. The best "
             "default-config runs ship alongside as "
             "`<scene>_12_gat_with_model.pt`."]
+    # 8-step horizon zoo (reference ships *_8_model.pt families; upstream
+    # publishes ADE8/FDE8). Rows come from runs/BEST8.json when curated,
+    # else the best-ADE run among runs/p8_<scene>_s*/.
+    best8 = {}
+    best8_path = os.path.join(ROOT, "runs", "BEST8.json")
+    if os.path.exists(best8_path):
+        best8 = json.load(open(best8_path))
+    p8rows = []
+    for s in scenes:
+        if s in best8:
+            d = os.path.join(ROOT, best8[s])
+            ev = parse_eval_log(os.path.join(d, "eval.log"))
+            tr = parse_train_log(os.path.join(d, "train.log"))
+        else:
+            ev, tr = None, {}
+            for d in sorted(glob.glob(os.path.join(ROOT, "runs",
+                                                   f"p8_{s}_s*"))):
+                e = parse_eval_log(os.path.join(d, "eval.log"))
+                if e and (ev is None or e["ade"] < ev["ade"]):
+                    ev = e
+                    tr = parse_train_log(os.path.join(d, "train.log"))
+        if ev:
+            up = UPSTREAM_SGAN_20V20_P8[s]
+            p8rows.append(
+                f"| {s} | **{ev['ade']:.2f}** | **{ev['fde']:.2f}** | "
+                f"{up[0]} / {up[1]} | {tr.get('train_s', 0)/60:.1f} min |")
+    if p8rows:
+        zoo += ["", "### 8-step horizon (`--pred_len 8`)", "",
+                "Same flagship configuration trained for the reference's "
+                "other published horizon (its `*_8_model.pt` families); "
+                "checkpoints ship as `models/grouptraj/<scene>_8_with_"
+                "model.pt`.", "",
+                "| scene | ADE8 | FDE8 | upstream SGAN 20V-20 | train time |",
+                "|---|---|---|---|---|"]
+        zoo += p8rows
     # variant configurations
     variants = [
         ("gcn_zara1", "GCNPooling (train_GCN.py config: best_k=1, d_steps=2)"),
@@ -121,6 +162,13 @@ def main():
         ("univ400", "flagship GAT, 500 epochs"),
         ("gatmh_zara2_s3", "gat-mh, seed 3 (promoted default)"),
         ("zara2_s4", "default GAT config, best of 12 seeds (seed 4)"),
+        # round-3 preset proof runs: the remaining reference training
+        # configs (sgan / sgan-p / gcn module) trained end-to-end on real
+        # data (reference families sgan-models / sgan-p-models /
+        # sgan-g-p-models)
+        ("preset_sgan_zara1", "sgan preset (no pooling, no graph module)"),
+        ("preset_sganp_zara1", "sgan-p preset (pool_net, no graph module)"),
+        ("preset_gcn_zara1", "gcn preset (GCNModule graph encoder)"),
     ]
     vrows = []
     for d, desc in variants:
