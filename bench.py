@@ -26,11 +26,15 @@ REFERENCE_ITERS_PER_SEC = 0.131
 
 def bench_grouptraj(iters: int = 200, batch_size: int = 64,
                     impl_override: str = "", spd: int = 0,
-                    n_buckets: int = 0):
+                    n_buckets: int = 0, n_seeds: int = 1):
     """Measures the production training path: device-resident dataset,
     scene-size-bucketed chunked dispatch (``TrainConfig.steps_per_dispatch``
     iterations per lax.scan dispatch, default 50; override with --spd),
-    zara1, d+g alternation with best-of-20 variety loss."""
+    zara1, d+g alternation with best-of-20 variety loss.
+
+    ``n_seeds > 1`` measures the vmapped multi-seed trainer
+    (grouptraj/train/multi.py): N replicas per dispatch, reported as
+    iters/s of the SHARED schedule (multiply by N for seed-iters/s)."""
     from scripts._common import setup_jax_cache
     setup_jax_cache()
     import jax
@@ -43,7 +47,9 @@ def bench_grouptraj(iters: int = 200, batch_size: int = 64,
         BucketScheduler, IndexStream, device_dataset, make_buckets,
     )
     from grouptraj.train.loop import build_loaders
-    from grouptraj.train.steps import init_train_state, make_train_chunk
+    from grouptraj.train.steps import (
+        build_train_chunk, init_train_state, make_train_chunk,
+    )
 
     cfg = ModelConfig()
     tcfg = TrainConfig(dataset_name="zara1", batch_size=batch_size)
@@ -73,11 +79,25 @@ def bench_grouptraj(iters: int = 200, batch_size: int = 64,
         data = synthetic_device_data(256, 64, cfg.obs_len, cfg.pred_len)
         num_seq = 256
 
-    run = make_train_chunk(cfg, tcfg, impl, chunk)
     stream = (iter(IndexStream(num_seq, batch_size))
               if sched is None else None)
     key = jax.random.PRNGKey(0)
-    state = init_train_state(key, cfg, tcfg)
+    if n_seeds > 1:
+        run = jax.jit(jax.vmap(build_train_chunk(cfg, tcfg, impl, chunk),
+                               in_axes=(0, None, None, 0)))
+        init_keys = jnp.stack([jax.random.PRNGKey(s)
+                               for s in range(n_seeds)])
+        state = jax.jit(jax.vmap(
+            lambda k: init_train_state(k, cfg, tcfg)))(init_keys)
+        key = jax.vmap(jax.random.fold_in, (0, None))(init_keys, 7)
+
+        def split(k):
+            ks = jax.vmap(lambda x: jax.random.split(x, 2))(k)
+            return ks[:, 0], ks[:, 1]
+    else:
+        run = make_train_chunk(cfg, tcfg, impl, chunk)
+        state = init_train_state(key, cfg, tcfg)
+        split = jax.random.split
 
     def next_dispatch():
         # device_put the indices NOW, outside the timed window: an implicit
@@ -96,7 +116,7 @@ def bench_grouptraj(iters: int = 200, batch_size: int = 64,
     # block_until_ready returns early)
     warm_idx = jnp.zeros((chunk, 2, batch_size), jnp.int32)
     for d in (datas if sched is not None else [data]):
-        key, sub = jax.random.split(key)
+        key, sub = split(key)
         state, losses = run(state, d, warm_idx, sub)
     np.asarray(losses["G_total_loss"])
 
@@ -119,7 +139,7 @@ def bench_grouptraj(iters: int = 200, batch_size: int = 64,
     for _ in range(3):
         t0 = time.time()
         for d, idx in seq:
-            key, sub = jax.random.split(key)
+            key, sub = split(key)
             state, losses = run(state, d, idx, sub)
         np.asarray(losses["G_total_loss"])      # hard sync
         reps.append(n_chunks * chunk / (time.time() - t0))
@@ -343,6 +363,10 @@ if __name__ == "__main__":
     ap.add_argument("--measure-reference", action="store_true")
     ap.add_argument("--no-scaling", action="store_true",
                     help="skip the 8-virtual-device CPU-mesh DP datapoint")
+    ap.add_argument("--no-multiseed", action="store_true",
+                    help="skip the 8-replica vmapped-trainer datapoint")
+    ap.add_argument("--n_seeds", type=int, default=8,
+                    help="replica count for the multi-seed datapoint")
     args = ap.parse_args()
     if args.measure_reference:
         ref = bench_reference()
@@ -366,6 +390,21 @@ if __name__ == "__main__":
             # each (valid pedestrian, sample) is one predicted trajectory
             out["pred_trajectories_per_sec_per_chip"] = round(tps[0], 0)
             out["pred_trajectories_per_sec_best_rep"] = round(tps[1], 0)
+        if not args.no_multiseed and args.n_seeds > 1:
+            try:
+                # the vmapped multi-seed trainer: N replicas advance per
+                # dispatch on one chip — seed-iters/s is the useful-work
+                # headline for the zoo's seed sweeps (train/multi.py)
+                ms_med, ms_best = bench_grouptraj(
+                    args.iters, impl_override=args.impl, spd=args.spd,
+                    n_buckets=args.n_buckets, n_seeds=args.n_seeds)
+                out[f"multiseed{args.n_seeds}_seed_iters_per_sec"] = round(
+                    ms_med * args.n_seeds, 1)
+                out[f"multiseed{args.n_seeds}_seed_iters_best_rep"] = round(
+                    ms_best * args.n_seeds, 1)
+            except Exception as e:   # auxiliary datapoint — never fatal
+                print(f"bench: multiseed skipped ({type(e).__name__}: {e})",
+                      file=sys.stderr)
         if not args.no_scaling:
             sc = bench_multichip_scaling()
             if sc:
