@@ -83,6 +83,9 @@ def bench_grouptraj(iters: int = 200, batch_size: int = 64,
               if sched is None else None)
     key = jax.random.PRNGKey(0)
     if n_seeds > 1:
+        # seed-axis vmap can't batch the Pallas pool kernel — use the
+        # decomposed XLA pool like train_many does
+        cfg = dataclasses.replace(cfg, pool_impl="fast")
         run = jax.jit(jax.vmap(build_train_chunk(cfg, tcfg, impl, chunk),
                                in_axes=(0, None, None, 0)))
         init_keys = jnp.stack([jax.random.PRNGKey(s)

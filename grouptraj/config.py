@@ -93,6 +93,14 @@ class ModelConfig:
 
     # Dense-batching (TPU) options — no reference equivalent
     activation: str = "relu"
+    # PoolHiddenNet implementation (ops/pooling.py): 'pair' = the
+    # reference-shaped [S, N, N, 512] path, 'fast' = the decomposed XLA
+    # form, 'pallas' = the fused VMEM kernel (ops/pallas_pool.py), 'auto' =
+    # pallas on TPU / fast on CPU, deferring to $GROUPTRAJ_POOL_IMPL.
+    # Execution detail only — all four compute the same function (tested).
+    # NOTE the pallas kernel does not compose with jax.vmap (the multi-seed
+    # trainer forces 'fast' for its replicated axis).
+    pool_impl: str = "auto"
 
     def __post_init__(self):
         if self.num_layers != 1:

@@ -59,7 +59,8 @@ def discriminator_forward(
         start_pos = traj[:, :, 0, :]
         classifier_input = pool_hidden_net(
             params["pool_net"], final_h, start_pos, valid, cfg.activation,
-            cfg.batch_norm, cfg.dropout, k_pool, train)
+            cfg.batch_norm, cfg.dropout, k_pool, train,
+            impl=cfg.pool_impl)
     else:
         classifier_input = final_h
     scores = mlp_forward(params["real_classifier"], classifier_input,

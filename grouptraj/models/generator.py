@@ -114,7 +114,8 @@ def _pool(params: dict, cfg: ModelConfig, h, end_pos, last_rel, labels,
           valid, h_dim_key: str, key, train):
     if cfg.pooling_type == "pool_net":
         return pool_hidden_net(params, h, end_pos, valid, cfg.activation,
-                               cfg.batch_norm, cfg.dropout, key, train)
+                               cfg.batch_norm, cfg.dropout, key, train,
+                               impl=cfg.pool_impl)
     if cfg.pooling_type == "gcn":
         return gcn_pooling(params, h, last_rel, labels, valid)
     raise ValueError(cfg.pooling_type)

@@ -131,14 +131,15 @@ def lstm_recurrence(w_hh, gx, h0, c0):
     """Recurrent half of an LSTM with precomputed input gates.
 
     gx [T, B, 4H] already holds ``x_t @ W_ih + b``; returns
-    (ys [T, B, H], hT, cT). The point of the custom VJP: XLA's autodiff of
-    the scan accumulates ``dW_hh += h_{t-1}ᵀ dz_t`` INSIDE the loop — a
-    heavy [H, B] @ [B, 4H] matmul of sequential depth per step — and saves
-    4H-wide intermediates. This backward instead runs a reverse scan that
-    only chains (dh, dc) (one light matmul per step, gates recomputed from
-    the saved states), emits dz per step, and forms dW_hh/dgx with ONE
-    batched matmul after the loop. Same math (tested); roughly halves the
-    backward's sequential matmul depth and its HBM residual traffic.
+    (ys [T, B, H], hT, cT). The point of the custom VJP: XLA's autodiff
+    saves 4H-wide gate intermediates per step; this backward recomputes the
+    gates from the saved (h, c) states instead, chains only (dh, dc)
+    through the reverse scan, and accumulates dW_hh in the carry (round-3
+    note: an earlier revision stacked dzs and formed dW as one post-loop
+    [H, T·B] @ [T·B, 4H] matmul — profiling showed the slab assembly and
+    re-read were pure HBM traffic, so dW now accumulates per step from
+    operands the step already has resident; dzs is still emitted because
+    it IS dgx). Same math as autodiff (tested).
     """
     return _lstm_recurrence_fwd(w_hh, gx, h0, c0)[0]
 
@@ -148,38 +149,40 @@ def _lstm_recurrence_fwd(w_hh, gx, h0, c0):
 
     def step(carry, g):
         h, c = carry
-        h, c = lstm_gates(g + h @ w_hh, c, H)
-        return (h, c), (h, c)
+        h2, c2 = lstm_gates(g + h @ w_hh, c, H)
+        # emit the PRE-step (h, c) too: the backward consumes h_{t-1}/c_{t-1}
+        # slabs directly instead of rebuilding them with a full-slab
+        # concatenate (measured ~0.3 ms/iter of pure copies at the widest
+        # bucket, tools/profile_step.py)
+        return (h2, c2), (h, c, h2)
 
-    (hT, cT), (ys, cs) = jax.lax.scan(step, (h0, c0), gx,
-                                      unroll=scan_unroll())
-    return (ys, hT, cT), (w_hh, gx, h0, c0, ys, cs)
+    (hT, cT), (hs_prev, cs_prev, ys) = jax.lax.scan(
+        step, (h0, c0), gx, unroll=scan_unroll())
+    return (ys, hT, cT), (w_hh, gx, hs_prev, cs_prev)
 
 
 def _lstm_recurrence_bwd(res, cts):
-    w_hh, gx, h0, c0, ys, cs = res
+    w_hh, gx, hs_prev, cs_prev = res
     dys, dhT, dcT = cts
-    H = h0.shape[-1]
-    T, B = gx.shape[0], gx.shape[1]
-    hs_prev = jnp.concatenate([h0[None], ys[:-1]], axis=0)
-    cs_prev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
+    H = hs_prev.shape[-1]
 
     def bstep(carry, inp):
-        dh_next, dc_next = carry
+        dh_next, dc_next, dw = carry
         g, h_prev, c_prev, dy = inp
         z = g + h_prev @ w_hh                      # recompute (1 matmul)
         dz, dc_chain = _gate_bwd(z, c_prev, dh_next + dy, dc_next, H)
         dh_chain = jax.lax.dot_general(            # dz @ w_hhᵀ, no transpose
             dz, w_hh, (((1,), (1,)), ((), ())))
-        return (dh_chain, dc_chain), dz
+        # dW accumulates in the carry ([H, 4H], tiny): a fat [H, B] @ [B, 4H]
+        # reduction per step instead of stacking dzs into a [T, B, 4H] HBM
+        # slab and re-reading it — h_prev/dz are already resident this step
+        dw = dw + jax.lax.dot_general(
+            h_prev, dz, (((0,), (0,)), ((), ())))
+        return (dh_chain, dc_chain, dw), dz
 
-    (dh0, dc0), dzs = jax.lax.scan(
-        bstep, (dhT, dcT), (gx, hs_prev, cs_prev, dys),
-        reverse=True, unroll=scan_unroll())
-    # weight gradient as ONE [H, T·B] @ [T·B, 4H] matmul after the loop
-    dw = jax.lax.dot_general(
-        hs_prev.reshape(T * B, H), dzs.reshape(T * B, 4 * H),
-        (((0,), (0,)), ((), ())))
+    (dh0, dc0, dw), dzs = jax.lax.scan(
+        bstep, (dhT, dcT, jnp.zeros_like(w_hh)),
+        (gx, hs_prev, cs_prev, dys), reverse=True, unroll=scan_unroll())
     return dw, dzs, dh0, dc0
 
 
@@ -200,37 +203,44 @@ def _dec_recurrence_fwd(w_eff, b_eff, h1, c1, T):
 
     def step(carry, _):
         h, c = carry
-        h, c = lstm_gates(h @ w_eff + b_eff, c, H)
-        return (h, c), (h, c)
+        h2, c2 = lstm_gates(h @ w_eff + b_eff, c, H)
+        return (h2, c2), (h, c, h2)
 
-    (_, _), (ys, cs) = jax.lax.scan(step, (h1, c1), None, length=T,
-                                    unroll=scan_unroll())
-    return ys, (w_eff, b_eff, h1, c1, ys, cs)
+    (_, _), (hs_prev, cs_prev, ys) = jax.lax.scan(
+        step, (h1, c1), None, length=T, unroll=scan_unroll())
+    return ys, (w_eff, b_eff, hs_prev, cs_prev)
 
 
 def _dec_recurrence_bwd(T, res, dys):
-    w_eff, b_eff, h1, c1, ys, cs = res
-    H = h1.shape[-1]
-    B = h1.shape[0]
-    hs_prev = jnp.concatenate([h1[None], ys[:-1]], axis=0)
-    cs_prev = jnp.concatenate([c1[None], cs[:-1]], axis=0)
+    """Reverse scan chaining (dh, dc) with dW/db accumulated IN the carry.
+
+    Unlike :func:`lstm_recurrence`, dz is not an output here (the folded
+    decoder has no per-step input), so nothing N²-sized needs to leave the
+    loop: stacking dzs into a ``[T, k·S·N, 4H]`` HBM slab for a single
+    post-loop matmul was the g-step's #2 cost after pooling (~4.7 ms/iter
+    at the widest bucket — the slab zero-init, per-step update-slices and
+    re-read are pure bandwidth; tools/profile_step.py). The in-carry
+    accumulation reads only what the step already has resident.
+    """
+    w_eff, b_eff, hs_prev, cs_prev = res
+    H = hs_prev.shape[-1]
 
     def bstep(carry, inp):
-        dh_next, dc_next = carry
+        dh_next, dc_next, dw, db = carry
         h_prev, c_prev, dy = inp
         z = h_prev @ w_eff + b_eff
         dz, dc_chain = _gate_bwd(z, c_prev, dh_next + dy, dc_next, H)
         dh_chain = jax.lax.dot_general(
             dz, w_eff, (((1,), (1,)), ((), ())))
-        return (dh_chain, dc_chain), dz
+        dw = dw + jax.lax.dot_general(
+            h_prev, dz, (((0,), (0,)), ((), ())))
+        return (dh_chain, dc_chain, dw, db + jnp.sum(dz, axis=0)), None
 
-    (dh1, dc1), dzs = jax.lax.scan(
-        bstep, (jnp.zeros_like(h1), jnp.zeros_like(c1)),
+    (dh1, dc1, dw, db), _ = jax.lax.scan(
+        bstep,
+        (jnp.zeros_like(hs_prev[0]), jnp.zeros_like(cs_prev[0]),
+         jnp.zeros_like(w_eff), jnp.zeros_like(b_eff)),
         (hs_prev, cs_prev, dys), reverse=True, unroll=scan_unroll())
-    dw = jax.lax.dot_general(
-        hs_prev.reshape(T * B, H), dzs.reshape(T * B, 4 * H),
-        (((0,), (0,)), ((), ())))
-    db = jnp.sum(dzs, axis=(0, 1))
     return dw, db, dh1, dc1
 
 

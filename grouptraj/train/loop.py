@@ -98,6 +98,11 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
         idx_shard = NamedSharding(mesh, P(None, None, DATA_AXIS))
         idx_shard_2d = NamedSharding(mesh, P(None, DATA_AXIS))
         data_sharding = replicated_sharding(mesh)
+        if cfg.pool_impl in ("auto", "pallas"):
+            # GSPMD can't partition the Pallas pool kernel across the mesh
+            # (it would replicate the call and gather the sharded scene
+            # axis); the decomposed XLA pool shards cleanly
+            cfg = dataclasses.replace(cfg, pool_impl="fast")
         logger.info("Data-parallel over %d devices (%s)", n_dev,
                     mesh.devices[0].platform)
 

@@ -70,6 +70,12 @@ def train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
                          "(checkpoint_start_from); replicas always start "
                          "fresh")
     impl = select_impl(cfg, tcfg)
+    if cfg.pool_impl in ("auto", "pallas"):
+        # the fused Pallas pool kernel does not compose with the seed-axis
+        # vmap (pallas_call auto-batching emits illegal Mosaic blocks);
+        # the decomposed XLA path is the vmap-safe equivalent
+        import dataclasses
+        cfg = dataclasses.replace(cfg, pool_impl="fast")
     n_seeds = len(seeds)
     train_dset, train_loader, val_loader = build_loaders(cfg, tcfg)
 

@@ -135,6 +135,11 @@ def build_parser(gcn_variant: bool = False) -> argparse.ArgumentParser:
                         "per-timestep-grid kernel, fused = whole-loop "
                         "single-launch kernel); auto picks by the measured "
                         "size crossover (ARCHITECTURE.md)")
+    p.add_argument("--pool_impl", default="auto",
+                   choices=["auto", "pair", "fast", "pallas"],
+                   help="PoolHiddenNet implementation (pair = reference-"
+                        "shaped NxN MLP, fast = decomposed XLA, pallas = "
+                        "fused VMEM kernel); auto = pallas on TPU")
     p.add_argument("--num_devices", default=1, type=int,
                    help="data-parallel devices: 1 = single (default), "
                         "0 = all visible, N = first N; batch_size must "
@@ -169,6 +174,7 @@ def configs_from_args(args, gcn_variant: bool = False):
         alpha=getattr(args, "alpha", 0.2),
         d_type=args.d_type, encoder_h_dim_d=args.encoder_h_dim_d,
         neighborhood_size=args.neighborhood_size, grid_size=args.grid_size,
+        pool_impl=getattr(args, "pool_impl", "auto"),
     )
     tcfg = TrainConfig(
         dataset_name=args.dataset_name, delim=args.delim,

@@ -72,11 +72,14 @@ def test_vmapped_chunk_matches_per_seed(data_root):
         state_i = jax.tree_util.tree_map(lambda x: x[i], states)
         ref_state, ref_losses = jax.jit(run)(state_i, data,
                                              jnp.asarray(idx), step_keys[i])
+        # 1e-4 not 2e-5: the decomposed pool's weight precompute
+        # (We @ W1e etc, ops/pooling.py) fuses differently under vmap,
+        # so per-seed floats drift at reassociation level after 2 chunks
         _tree_allclose(jax.tree_util.tree_map(lambda x: x[i], vstates),
-                       ref_state, atol=2e-5)
+                       ref_state, atol=1e-4)
         for k in ref_losses:
             np.testing.assert_allclose(np.asarray(vlosses[k])[i],
-                                       np.asarray(ref_losses[k]), atol=2e-5,
+                                       np.asarray(ref_losses[k]), atol=1e-4,
                                        rtol=0)
 
 

@@ -1,0 +1,150 @@
+"""Fused PoolHiddenNet pair-core kernel (ops/pallas_pool.py), interpret
+mode on CPU; the same kernel compiles and is measured on the real TPU
+(tools/profile_step.py). Also covers the decomposed fast path vs the
+reference-shaped pair path (ops/pooling.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import grouptraj.ops.pallas_pool as PP
+from grouptraj.ops.pooling import (
+    init_pool_hidden_net, pool_core, pool_hidden_net,
+)
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    orig = PP.pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(PP.pl, "pallas_call", patched)
+
+
+def _data(S=3, N=13, K=64, B=8, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+    a = jax.random.normal(ks[0], (S, N, K))
+    u = jax.random.normal(ks[1], (S, N, K))
+    W2 = jax.random.normal(ks[2], (K, B)) / np.sqrt(K)
+    b2 = jax.random.normal(ks[3], (B,))
+    valid = (jax.random.uniform(ks[4], (S, N)) > 0.3).astype(jnp.float32)
+    # one scene fully valid, one with a single valid ped
+    valid = valid.at[0].set(1.0)
+    valid = valid.at[1].set(0.0).at[1, 0].set(1.0)
+    return a, u, W2, b2, valid
+
+
+def test_forward_matches_xla_core():
+    a, u, W2, b2, valid = _data()
+    ref = pool_core(a, u, W2, b2, valid)
+    out = PP.pool_core_pallas(a, u, W2, b2, valid)
+    # compare only valid-i rows (invalid rows are masked by callers)
+    m = np.asarray(valid)[..., None] > 0
+    assert np.allclose(np.asarray(out)[m.repeat(8, -1)],
+                       np.asarray(ref)[m.repeat(8, -1)], atol=1e-5)
+
+
+@pytest.mark.parametrize("seed,N,B", [(0, 13, 8), (1, 8, 16), (2, 24, 8)])
+def test_gradients_match_xla_core(seed, N, B):
+    a, u, W2, b2, valid = _data(N=N, B=B, seed=seed)
+
+    def loss(core):
+        def f(a, u, W2, b2):
+            pooled = core(a, u, W2, b2, valid)
+            # the caller-side mask, so invalid-i rows carry no cotangent
+            pooled = jnp.where(valid[..., None] > 0, pooled, 0.0)
+            w = jnp.cos(jnp.arange(pooled.size, dtype=jnp.float32)
+                        ).reshape(pooled.shape)
+            return jnp.sum(pooled * w)
+        return f
+
+    g_ref = jax.grad(loss(pool_core), argnums=(0, 1, 2, 3))(a, u, W2, b2)
+    g_ker = jax.grad(loss(PP.pool_core_pallas), argnums=(0, 1, 2, 3))(
+        a, u, W2, b2)
+    for r, k, name in zip(g_ref, g_ker, ["da", "du", "dW2", "db2"]):
+        assert np.allclose(np.asarray(r), np.asarray(k), atol=2e-4), (
+            name, np.abs(np.asarray(r) - np.asarray(k)).max())
+
+
+def test_gradients_with_relu_ties():
+    """ReLU-clipped outputs produce exact 0-ties across j; the kernel must
+    split the max cotangent evenly like jnp.max autodiff."""
+    a, u, W2, b2, valid = _data(seed=3)
+    # force many negative pre-activations -> zero outputs -> ties
+    b2 = b2 - 3.0
+
+    def loss(core):
+        def f(a, u, W2, b2):
+            pooled = core(a, u, W2, b2, valid)
+            pooled = jnp.where(valid[..., None] > 0, pooled, 0.0)
+            return jnp.sum(pooled ** 2) + jnp.sum(pooled)
+        return f
+
+    g_ref = jax.grad(loss(pool_core), argnums=(0, 1, 2, 3))(a, u, W2, b2)
+    g_ker = jax.grad(loss(PP.pool_core_pallas), argnums=(0, 1, 2, 3))(
+        a, u, W2, b2)
+    for r, k in zip(g_ref, g_ker):
+        assert np.allclose(np.asarray(r), np.asarray(k), atol=2e-4)
+
+
+# ------------------------------------------------- decomposed vs pair path
+
+def test_fast_path_matches_pair_path():
+    S, N, E, H, B = 4, 21, 16, 32, 8
+    p = init_pool_hidden_net(jax.random.PRNGKey(0), E, H, B)
+    h = jax.random.normal(jax.random.PRNGKey(1), (S, N, H))
+    pos = 4.0 * jax.random.normal(jax.random.PRNGKey(2), (S, N, 2))
+    valid = (jax.random.uniform(jax.random.PRNGKey(3), (S, N)) > 0.4
+             ).astype(jnp.float32)
+    ref = pool_hidden_net(p, h, pos, valid, impl="pair")
+    fast = pool_hidden_net(p, h, pos, valid, impl="fast")
+    assert np.allclose(np.asarray(ref), np.asarray(fast), atol=1e-4)
+
+    # gradients agree too (the training path)
+    def loss(impl):
+        def f(p):
+            out = pool_hidden_net(p, h, pos, valid, impl=impl)
+            return jnp.sum(out * jnp.sin(jnp.arange(out.size,
+                           dtype=jnp.float32)).reshape(out.shape))
+        return f
+
+    from jax.flatten_util import ravel_pytree
+    g_ref = jax.grad(loss("pair"))(p)
+    g_fast = jax.grad(loss("fast"))(p)
+    flat_r, _ = ravel_pytree(g_ref)
+    flat_f, _ = ravel_pytree(g_fast)
+    assert np.allclose(np.asarray(flat_r), np.asarray(flat_f), atol=2e-4)
+
+
+def test_fast_path_respects_quirk_gates():
+    """batch_norm / train-time dropout / non-relu fall back to the pair
+    path (decomposition would be wrong there)."""
+    S, N, E, H, B = 2, 6, 4, 8, 5
+    p = init_pool_hidden_net(jax.random.PRNGKey(0), E, H, B,
+                             batch_norm=True)
+    h = jax.random.normal(jax.random.PRNGKey(1), (S, N, H))
+    pos = jax.random.normal(jax.random.PRNGKey(2), (S, N, 2))
+    valid = jnp.ones((S, N))
+    bn = pool_hidden_net(p, h, pos, valid, batch_norm=True, impl="auto")
+    bn_pair = pool_hidden_net(p, h, pos, valid, batch_norm=True, impl="pair")
+    assert np.allclose(np.asarray(bn), np.asarray(bn_pair))
+
+    p2 = init_pool_hidden_net(jax.random.PRNGKey(0), E, H, B)
+    k = jax.random.PRNGKey(7)
+    drop = pool_hidden_net(p2, h, pos, valid, dropout=0.5, key=k,
+                           train=True, impl="auto")
+    drop_pair = pool_hidden_net(p2, h, pos, valid, dropout=0.5, key=k,
+                                train=True, impl="pair")
+    assert np.allclose(np.asarray(drop), np.asarray(drop_pair))
+    # eval-mode dropout is inactive -> fast path applies and matches
+    ev = pool_hidden_net(p2, h, pos, valid, dropout=0.5, train=False,
+                         impl="auto")
+    ev_pair = pool_hidden_net(p2, h, pos, valid, dropout=0.5, train=False,
+                              impl="pair")
+    assert np.allclose(np.asarray(ev), np.asarray(ev_pair), atol=1e-4)
