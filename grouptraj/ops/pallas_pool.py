@@ -1,4 +1,4 @@
-"""Fused Pallas TPU kernel for the PoolHiddenNet pair core.
+"""Fused, size-aware Pallas TPU kernel for the PoolHiddenNet pair core.
 
 The decomposed PoolHiddenNet (``grouptraj.ops.pooling``, round-3 profiling
 notes there; reference semantics ``sgan/models.py:458-549``) reduces social
@@ -7,29 +7,40 @@ pooling to the N²-pair core
     pool[s, i] = max_j  mask_j( relu( relu(a[s, j] − u[s, i]) @ W2 + b2 ) )
 
 with per-ped ``a``/``u`` of width 512 (the reference's hardcoded pre-pool
-hidden). Plain XLA still materializes the ``[S, N, N, 512]`` pair tensor in
-HBM for the 512→bottleneck contraction — ~0.5 GB of traffic per call at the
+hidden). Plain XLA materializes the ``[S, N, N, 512]`` pair tensor in HBM
+for the 512→bottleneck contraction — ~0.5 GB of traffic per call at the
 widest training bucket, the measured #1 cost of the training step
-(tools/profile_step.py). This kernel computes the core tile-by-tile in VMEM
-so no N² tensor ever reaches HBM:
+(tools/profile_step.py). This kernel computes the core tile-by-tile in
+VMEM so no N² tensor ever reaches HBM, and skips padding:
 
-- grid ``(S, N/TI)`` with the i-tile axis minor: the per-scene ``a`` and
-  ``valid`` blocks keep the same block index across consecutive grid steps,
-  so Mosaic leaves them resident instead of re-fetching;
-- forward: ``z = a[None, :, :] − u[:, None, :]`` → relu → one
-  ``[TI·N, 512] @ [512, Bp]`` MXU contraction → +b2 → relu → mask invalid
-  j with −1e9 → max over j → ``[TI, Bp]`` written out. The bottleneck is
-  padded to the 128-lane tile (Bp = 128) and sliced outside;
-- backward (``custom_vjp``): recomputes the tile (same op sequence as the
-  forward, so the max-equality test is deterministic), routes the pool
-  cotangent through the max exactly like XLA's reduce-max VJP (even split
-  among ties: ``eq / cnt``), and accumulates ``da`` per scene and
-  ``dW2``/``db2`` across the whole grid in revisited output blocks
-  (initialized at the first visit, ``+=`` after).
+- grid ``(S, N/TI)`` with the i-tile axis minor: the per-scene ``a``,
+  ``valid`` and count blocks keep the same index across consecutive grid
+  steps, so Mosaic leaves them resident instead of re-fetching;
+- **size-aware bounds**: scene sizes vary 17–64 inside the widest training
+  bucket (mean ~29 → ~22% pair fill), so a dense kernel wastes ~4.5× its
+  compute on padding. Each scene carries ``n_s = max_j (j+1)·valid_j``
+  (exact for any mask pattern — interior invalid j are still masked
+  elementwise): i-tiles with ``t·TI ≥ n_s`` skip compute and write zeros,
+  and the j axis runs as a ``fori_loop`` over ⌈n_s/TJ⌉ tiles with a
+  running masked max;
+- forward per (i, j) tile: ``z = a_j[None] − u_i[:, None]`` → relu → one
+  ``[TI·TJ, 512] @ [512, 128]`` MXU contraction (bottleneck padded to the
+  lane tile and sliced outside) → +b2 → relu → mask → max into the
+  accumulator;
+- backward (``custom_vjp``): recomputes tiles with the SAME op sequence
+  and tiling as the forward, so the max-equality test is deterministic.
+  Two j-passes: pass 1 accumulates the tie count ``cnt = Σ_j eq`` (the
+  cotangent must split evenly among ties exactly like XLA's reduce-max
+  VJP), pass 2 forms ``g = dpool·eq/cnt`` and accumulates ``da`` (per
+  scene, revisited output block), ``du`` (per i-tile), and ``dW2``/``db2``
+  (whole grid, revisited block initialized at the first visit).
 
-Gradient summation ORDER differs from XLA autodiff (per-tile accumulation),
-so weight grads match to f32 tolerance, not bit-exactly (tested vs autodiff
-of the XLA core in tests/test_pallas_pool.py).
+Gradient summation ORDER differs from XLA autodiff (per-tile
+accumulation), so weight grads match to f32 tolerance, not bit-exactly
+(tested vs autodiff of the XLA core in tests/test_pallas_pool.py). Matmul
+precision follows the session default: bf16 MXU passes with f32
+accumulate (exactly what the XLA paths do), full f32 when
+``jax_default_matmul_precision`` asks for it.
 """
 
 from __future__ import annotations
@@ -47,17 +58,12 @@ _NEG = -1e9
 _LANES = 128     # bottleneck padded to one lane tile
 
 
-def _tile_rows(Np: int) -> int:
-    """i-rows per grid step: 16 when the four [TI, N, 512] f32 tile
-    temporaries of the backward stay ≲8 MB VMEM, else the minimum 8."""
-    return 16 if Np <= 64 else 8
+def _tile_rows(N: int) -> int:
+    """i/j tile edge: small buckets keep 8 (less padding), wider use 16."""
+    return 8 if N <= 16 else 16
 
 
 def _use_bf16() -> bool:
-    """Match the session matmul precision: bf16 MXU passes (f32
-    accumulate) under the JAX default — exactly what the XLA pair/core
-    paths do — and full f32 when tests set jax_default_matmul_precision
-    to float32/highest."""
     prec = jax.config.jax_default_matmul_precision
     return prec in (None, "default", "bfloat16", "fastest", "tensorfloat32")
 
@@ -87,106 +93,155 @@ def _dot_nt(x, y, bf16):
                                preferred_element_type=jnp.float32)
 
 
-def _tile_forward(a, u_t, W2, b2, valid, TI, N, K, bf16):
-    """The pair core for one i-tile: returns (z, h1, o_masked) with
-    z [TI, N, K], o_masked [TI, N, _LANES]."""
-    z = a[None, :, :] - u_t[:, None, :]                     # [TI, N, K]
+def _jtile_forward(a_ref, valid_ref, u_t, W2, b2, j, *, TI, TJ, K, bf16):
+    """(z, h1, o_masked) for one (i-tile, j-tile): o [TI, TJ, _LANES]."""
+    a_j = a_ref[0, pl.ds(j * TJ, TJ), :]                    # [TJ, K]
+    v_j = valid_ref[0, pl.ds(j * TJ, TJ), :]                # [TJ, 1]
+    z = a_j[None, :, :] - u_t[:, None, :]                   # [TI, TJ, K]
     h1 = jax.nn.relu(z)
-    q = _dot(h1.reshape(TI * N, K), W2, bf16) + b2          # [TI·N, Bp]
-    o = jax.nn.relu(q).reshape(TI, N, _LANES)
-    o = jnp.where(valid[None, :, None] > 0, o, _NEG)        # mask invalid j
+    q = _dot(h1.reshape(TI * TJ, K), W2, bf16) + b2         # [TI·TJ, Bp]
+    o = jax.nn.relu(q).reshape(TI, TJ, _LANES)
+    o = jnp.where(v_j[None, :, :] > 0, o, _NEG)             # mask invalid j
     return z, h1, o
 
 
-def _fwd_kernel(a_ref, u_ref, W2_ref, b2_ref, valid_ref, out_ref,
-                *, TI, N, K, bf16):
-    _, _, o = _tile_forward(a_ref[0], u_ref[0], W2_ref[:], b2_ref[0],
-                            valid_ref[0, 0], TI, N, K, bf16)
-    out_ref[0] = jnp.max(o, axis=1)                         # [TI, Bp]
-
-
-def _bwd_kernel(a_ref, u_ref, W2_ref, b2_ref, valid_ref, pool_ref, dpool_ref,
-                da_ref, du_ref, dW2_ref, db2_ref, *, TI, N, K, bf16):
+def _fwd_kernel(n_ref, a_ref, u_ref, W2_ref, b2_ref, valid_ref, out_ref,
+                *, TI, TJ, K, bf16):
     s = pl.program_id(0)
     t = pl.program_id(1)
-    z, h1, o = _tile_forward(a_ref[0], u_ref[0], W2_ref[:], b2_ref[0],
-                             valid_ref[0, 0], TI, N, K, bf16)
-    # reduce-max VJP: even split among ties (matches jnp.max autodiff)
-    eq = (o == pool_ref[0][:, None, :]).astype(jnp.float32)  # [TI, N, Bp]
-    cnt = jnp.maximum(jnp.sum(eq, axis=1, keepdims=True), 1.0)
-    g = dpool_ref[0][:, None, :] * eq / cnt
-    # through the j-mask (where: cotangent only to valid j) and outer relu
-    dq = g * valid_ref[0, 0][None, :, None] * (o > 0)        # [TI, N, Bp]
-    dq2 = dq.reshape(TI * N, _LANES)
-    h1_2 = h1.reshape(TI * N, K)
-    dh1 = _dot_nt(dq2, W2_ref[:], bf16)                      # [TI·N, K]
-    dz = (dh1.reshape(TI, N, K) * (z > 0))                   # [TI, N, K]
+    ni = n_ref[s]
+    out_ref[0] = jnp.zeros((TI, _LANES), jnp.float32)
 
-    du_ref[0] = -jnp.sum(dz, axis=1)                         # [TI, K]
+    @pl.when(t * TI < ni)
+    def _():
+        u_t = u_ref[0]
+        W2, b2 = W2_ref[:], b2_ref[0]
+        njt = (ni + TJ - 1) // TJ
+
+        def jbody(j, acc):
+            _, _, o = _jtile_forward(a_ref, valid_ref, u_t, W2, b2, j,
+                                     TI=TI, TJ=TJ, K=K, bf16=bf16)
+            return jnp.maximum(acc, jnp.max(o, axis=1))
+
+        out_ref[0] = jax.lax.fori_loop(
+            0, njt, jbody, jnp.full((TI, _LANES), _NEG, jnp.float32))
+
+
+def _bwd_kernel(n_ref, a_ref, u_ref, W2_ref, b2_ref, valid_ref, pool_ref,
+                dpool_ref, da_ref, du_ref, dW2_ref, db2_ref,
+                *, TI, TJ, K, bf16):
+    s = pl.program_id(0)
+    t = pl.program_id(1)
+    ni = n_ref[s]
+    du_ref[0] = jnp.zeros((TI, K), jnp.float32)
 
     @pl.when(t == 0)
     def _():
         da_ref[0] = jnp.zeros_like(da_ref[0])
-    da_ref[0] += jnp.sum(dz, axis=0)                         # [N, K]
 
     @pl.when(jnp.logical_and(s == 0, t == 0))
     def _():
         dW2_ref[:] = jnp.zeros_like(dW2_ref[:])
         db2_ref[:] = jnp.zeros_like(db2_ref[:])
-    dW2_ref[:] += _dot_tn(h1_2, dq2, bf16)                   # [K, Bp]
-    db2_ref[0] += jnp.sum(dq2, axis=0)                       # [Bp]
+
+    @pl.when(t * TI < ni)
+    def _():
+        u_t = u_ref[0]
+        W2, b2 = W2_ref[:], b2_ref[0]
+        pool_t = pool_ref[0]                                 # [TI, Bp]
+        dpool_t = dpool_ref[0]
+        njt = (ni + TJ - 1) // TJ
+
+        # pass 1: tie counts over the whole j extent (reduce-max VJP
+        # splits the cotangent evenly among ties, like jnp.max autodiff)
+        def cbody(j, cnt):
+            _, _, o = _jtile_forward(a_ref, valid_ref, u_t, W2, b2, j,
+                                     TI=TI, TJ=TJ, K=K, bf16=bf16)
+            eq = (o == pool_t[:, None, :]).astype(jnp.float32)
+            return cnt + jnp.sum(eq, axis=1)
+
+        cnt = jax.lax.fori_loop(0, njt, cbody,
+                                jnp.zeros((TI, _LANES), jnp.float32))
+        gd = dpool_t / jnp.maximum(cnt, 1.0)                 # [TI, Bp]
+
+        # pass 2: gradients
+        def jbody(j, du_acc):
+            z, h1, o = _jtile_forward(a_ref, valid_ref, u_t, W2, b2, j,
+                                      TI=TI, TJ=TJ, K=K, bf16=bf16)
+            eq = (o == pool_t[:, None, :]).astype(jnp.float32)
+            v_j = valid_ref[0, pl.ds(j * TJ, TJ), :]         # [TJ, 1]
+            # where-mask VJP (valid j only) and the outer relu
+            dq = gd[:, None, :] * eq * v_j[None, :, :] * (o > 0)
+            dq2 = dq.reshape(TI * TJ, _LANES)
+            h1_2 = h1.reshape(TI * TJ, K)
+            dh1 = _dot_nt(dq2, W2, bf16)                     # [TI·TJ, K]
+            dz = dh1.reshape(TI, TJ, K) * (z > 0)
+            da_ref[0, pl.ds(j * TJ, TJ), :] += jnp.sum(dz, axis=0)
+            dW2_ref[:] += _dot_tn(h1_2, dq2, bf16)
+            db2_ref[0] += jnp.sum(dq2, axis=0)
+            return du_acc - jnp.sum(dz, axis=1)
+
+        du_ref[0] = jax.lax.fori_loop(
+            0, njt, jbody, jnp.zeros((TI, K), jnp.float32))
 
 
 def _pad_args(a, u, W2, b2, valid):
     S, N, K = a.shape
     B = W2.shape[1]
-    Np = round_up(max(N, 8), _tile_rows(max(N, 8)))
+    TI = _tile_rows(N)
+    Np = round_up(max(N, TI), TI)
     padN = lambda x: jnp.pad(x, ((0, 0), (0, Np - N), (0, 0)))
     ap, up = padN(a), padN(u)
-    # [S, 1, Np] so the block's trailing dims equal the array dims (Mosaic
-    # requires (8, 128)-divisible or whole-axis blocks)
-    vp = jnp.pad(valid.astype(jnp.float32),
-                 ((0, 0), (0, Np - N)))[:, None, :]
+    # [S, Np, 1]: N on the SUBLANE axis — the kernel j-loop slices valid at
+    # dynamic offsets, which Mosaic only supports on non-lane dims
+    vf = valid.astype(jnp.float32)
+    vp = jnp.pad(vf, ((0, 0), (0, Np - N)))[:, :, None]
+    # per-scene extent: last valid j + 1 (exact for ANY mask pattern —
+    # interior invalid j are still masked elementwise in the kernel)
+    n = jnp.max(jnp.arange(1, N + 1, dtype=jnp.int32)[None, :]
+                * vf.astype(jnp.int32), axis=1)              # [S]
     W2p = jnp.pad(W2, ((0, 0), (0, _LANES - B)))
     b2p = jnp.pad(b2, (0, _LANES - B)).reshape(1, _LANES)
-    return ap, up, W2p, b2p, vp, S, Np, K, B
+    return ap, up, W2p, b2p, vp, n, S, Np, K, B
 
 
 def _specs(S, Np, K):
     TI = _tile_rows(Np)
     nt = Np // TI
-    a_spec = pl.BlockSpec((1, Np, K), lambda s, t: (s, 0, 0),
+    a_spec = pl.BlockSpec((1, Np, K), lambda s, t, n: (s, 0, 0),
                           memory_space=pltpu.VMEM)
-    u_spec = pl.BlockSpec((1, TI, K), lambda s, t: (s, t, 0),
+    u_spec = pl.BlockSpec((1, TI, K), lambda s, t, n: (s, t, 0),
                           memory_space=pltpu.VMEM)
-    W2_spec = pl.BlockSpec((K, _LANES), lambda s, t: (0, 0),
+    W2_spec = pl.BlockSpec((K, _LANES), lambda s, t, n: (0, 0),
                            memory_space=pltpu.VMEM)
-    b2_spec = pl.BlockSpec((1, _LANES), lambda s, t: (0, 0),
+    b2_spec = pl.BlockSpec((1, _LANES), lambda s, t, n: (0, 0),
                            memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((1, 1, Np), lambda s, t: (s, 0, 0),
+    v_spec = pl.BlockSpec((1, Np, 1), lambda s, t, n: (s, 0, 0),
                           memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((1, TI, _LANES), lambda s, t: (s, t, 0),
+    o_spec = pl.BlockSpec((1, TI, _LANES), lambda s, t, n: (s, t, 0),
                           memory_space=pltpu.VMEM)
     return TI, (S, nt), a_spec, u_spec, W2_spec, b2_spec, v_spec, o_spec
 
 
 def _core_fwd(a, u, W2, b2, valid):
-    ap, up, W2p, b2p, vp, S, Np, K, B = _pad_args(a, u, W2, b2, valid)
+    ap, up, W2p, b2p, vp, n, S, Np, K, B = _pad_args(a, u, W2, b2, valid)
     TI, grid, a_s, u_s, W2_s, b2_s, v_s, o_s = _specs(S, Np, K)
     pooled = pl.pallas_call(
-        functools.partial(_fwd_kernel, TI=TI, N=Np, K=K, bf16=_use_bf16()),
-        grid=grid,
-        in_specs=[a_s, u_s, W2_s, b2_s, v_s],
-        out_specs=o_s,
+        functools.partial(_fwd_kernel, TI=TI, TJ=TI, K=K, bf16=_use_bf16()),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[a_s, u_s, W2_s, b2_s, v_s],
+            out_specs=o_s),
         out_shape=jax.ShapeDtypeStruct((S, Np, _LANES), jnp.float32),
-    )(ap, up, W2p, b2p, vp)
+    )(n, ap, up, W2p, b2p, vp)
     return pooled[:, :a.shape[1], :B], pooled
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def pool_core_pallas(a, u, W2, b2, valid):
     """Fused pair core: [S,N,K] a/u, [K,B] W2, [B] b2, [S,N] valid ->
-    [S,N,B] pooled (invalid-i rows are the masked max — callers re-mask)."""
+    [S,N,B] pooled (invalid-i rows are zero here — callers re-mask
+    anyway)."""
     out, _ = _core_fwd(a, u, W2, b2, valid)
     return out
 
@@ -198,30 +253,31 @@ def _vjp_fwd(a, u, W2, b2, valid):
 
 def _vjp_bwd(res, dpool):
     a, u, W2, b2, valid, pooled_padded = res
-    ap, up, W2p, b2p, vp, S, Np, K, B = _pad_args(a, u, W2, b2, valid)
+    ap, up, W2p, b2p, vp, n, S, Np, K, B = _pad_args(a, u, W2, b2, valid)
     N = a.shape[1]
     dpool_p = jnp.pad(dpool, ((0, 0), (0, Np - N), (0, _LANES - B)))
     TI, grid, a_s, u_s, W2_s, b2_s, v_s, o_s = _specs(S, Np, K)
-    da_s = pl.BlockSpec((1, Np, K), lambda s, t: (s, 0, 0),
+    da_s = pl.BlockSpec((1, Np, K), lambda s, t, n: (s, 0, 0),
                         memory_space=pltpu.VMEM)
-    du_s = pl.BlockSpec((1, TI, K), lambda s, t: (s, t, 0),
+    du_s = pl.BlockSpec((1, TI, K), lambda s, t, n: (s, t, 0),
                         memory_space=pltpu.VMEM)
-    dW2_s = pl.BlockSpec((K, _LANES), lambda s, t: (0, 0),
+    dW2_s = pl.BlockSpec((K, _LANES), lambda s, t, n: (0, 0),
                          memory_space=pltpu.VMEM)
-    db2_s = pl.BlockSpec((1, _LANES), lambda s, t: (0, 0),
+    db2_s = pl.BlockSpec((1, _LANES), lambda s, t, n: (0, 0),
                          memory_space=pltpu.VMEM)
     da, du, dW2p, db2p = pl.pallas_call(
-        functools.partial(_bwd_kernel, TI=TI, N=Np, K=K, bf16=_use_bf16()),
-        grid=grid,
-        in_specs=[a_s, u_s, W2_s, b2_s, v_s, o_s, o_s],
-        out_specs=(da_s, du_s, dW2_s, db2_s),
+        functools.partial(_bwd_kernel, TI=TI, TJ=TI, K=K, bf16=_use_bf16()),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[a_s, u_s, W2_s, b2_s, v_s, o_s, o_s],
+            out_specs=(da_s, du_s, dW2_s, db2_s)),
         out_shape=(
             jax.ShapeDtypeStruct((S, Np, K), jnp.float32),
             jax.ShapeDtypeStruct((S, Np, K), jnp.float32),
             jax.ShapeDtypeStruct((K, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((1, _LANES), jnp.float32),
         ),
-    )(ap, up, W2p, b2p, vp, pooled_padded, dpool_p)
+    )(n, ap, up, W2p, b2p, vp, pooled_padded, dpool_p)
     return (da[:, :N, :], du[:, :N, :], dW2p[:, :B], db2p[0, :B], None)
 
 
