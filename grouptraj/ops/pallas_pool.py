@@ -29,11 +29,13 @@ VMEM so no N² tensor ever reaches HBM, and skips padding:
   accumulator;
 - backward (``custom_vjp``): recomputes tiles with the SAME op sequence
   and tiling as the forward, so the max-equality test is deterministic.
-  Two j-passes: pass 1 accumulates the tie count ``cnt = Σ_j eq`` (the
-  cotangent must split evenly among ties exactly like XLA's reduce-max
-  VJP), pass 2 forms ``g = dpool·eq/cnt`` and accumulates ``da`` (per
-  scene, revisited output block), ``du`` (per i-tile), and ``dW2``/``db2``
-  (whole grid, revisited block initialized at the first visit).
+  The tie count ``cnt`` (the cotangent must split evenly among ties
+  exactly like XLA's reduce-max VJP) is accumulated by the FORWARD as a
+  running count alongside the running max and saved as a residual, so the
+  backward is a single j-pass: form ``g = dpool·eq/cnt`` and accumulate
+  ``da`` (per scene, revisited output block), ``du`` (per i-tile), and
+  ``dW2``/``db2`` (whole grid, revisited block initialized at the first
+  visit).
 
 Gradient summation ORDER differs from XLA autodiff (per-tile
 accumulation), so weight grads match to f32 tolerance, not bit-exactly
@@ -106,11 +108,12 @@ def _jtile_forward(a_ref, valid_ref, u_t, W2, b2, j, *, TI, TJ, K, bf16):
 
 
 def _fwd_kernel(n_ref, a_ref, u_ref, W2_ref, b2_ref, valid_ref, out_ref,
-                *, TI, TJ, K, bf16):
+                cnt_ref, *, TI, TJ, K, bf16):
     s = pl.program_id(0)
     t = pl.program_id(1)
     ni = n_ref[s]
     out_ref[0] = jnp.zeros((TI, _LANES), jnp.float32)
+    cnt_ref[0] = jnp.zeros((TI, _LANES), jnp.float32)
 
     @pl.when(t * TI < ni)
     def _():
@@ -118,17 +121,33 @@ def _fwd_kernel(n_ref, a_ref, u_ref, W2_ref, b2_ref, valid_ref, out_ref,
         W2, b2 = W2_ref[:], b2_ref[0]
         njt = (ni + TJ - 1) // TJ
 
-        def jbody(j, acc):
+        # running (max, tie count): cnt tracks how many j attain the
+        # running max, resetting whenever a tile raises it — so at the end
+        # it equals the full-extent tie count the reduce-max VJP needs
+        # (the backward splits the cotangent evenly among ties, exactly
+        # like XLA's jnp.max autodiff). Computing it here costs one
+        # elementwise compare/sum per tile; the backward saves a whole
+        # recompute pass (incl. its matmul) per tile.
+        def jbody(j, carry):
+            m, c = carry
             _, _, o = _jtile_forward(a_ref, valid_ref, u_t, W2, b2, j,
                                      TI=TI, TJ=TJ, K=K, bf16=bf16)
-            return jnp.maximum(acc, jnp.max(o, axis=1))
+            m_new = jnp.maximum(m, jnp.max(o, axis=1))
+            keep = (m == m_new).astype(jnp.float32)
+            tile_cnt = jnp.sum((o == m_new[:, None, :]).astype(jnp.float32),
+                               axis=1)
+            return m_new, c * keep + tile_cnt
 
-        out_ref[0] = jax.lax.fori_loop(
-            0, njt, jbody, jnp.full((TI, _LANES), _NEG, jnp.float32))
+        m, c = jax.lax.fori_loop(
+            0, njt, jbody,
+            (jnp.full((TI, _LANES), _NEG, jnp.float32),
+             jnp.zeros((TI, _LANES), jnp.float32)))
+        out_ref[0] = m
+        cnt_ref[0] = c
 
 
 def _bwd_kernel(n_ref, a_ref, u_ref, W2_ref, b2_ref, valid_ref, pool_ref,
-                dpool_ref, da_ref, du_ref, dW2_ref, db2_ref,
+                cnt_ref, dpool_ref, da_ref, du_ref, dW2_ref, db2_ref,
                 *, TI, TJ, K, bf16):
     s = pl.program_id(0)
     t = pl.program_id(1)
@@ -152,19 +171,12 @@ def _bwd_kernel(n_ref, a_ref, u_ref, W2_ref, b2_ref, valid_ref, pool_ref,
         dpool_t = dpool_ref[0]
         njt = (ni + TJ - 1) // TJ
 
-        # pass 1: tie counts over the whole j extent (reduce-max VJP
-        # splits the cotangent evenly among ties, like jnp.max autodiff)
-        def cbody(j, cnt):
-            _, _, o = _jtile_forward(a_ref, valid_ref, u_t, W2, b2, j,
-                                     TI=TI, TJ=TJ, K=K, bf16=bf16)
-            eq = (o == pool_t[:, None, :]).astype(jnp.float32)
-            return cnt + jnp.sum(eq, axis=1)
+        # tie counts were accumulated by the forward (saved residual);
+        # the reduce-max VJP splits the cotangent evenly among ties,
+        # like jnp.max autodiff
+        gd = dpool_t / jnp.maximum(cnt_ref[0], 1.0)          # [TI, Bp]
 
-        cnt = jax.lax.fori_loop(0, njt, cbody,
-                                jnp.zeros((TI, _LANES), jnp.float32))
-        gd = dpool_t / jnp.maximum(cnt, 1.0)                 # [TI, Bp]
-
-        # pass 2: gradients
+        # single pass: gradients
         def jbody(j, du_acc):
             z, h1, o = _jtile_forward(a_ref, valid_ref, u_t, W2, b2, j,
                                       TI=TI, TJ=TJ, K=K, bf16=bf16)
@@ -226,15 +238,16 @@ def _specs(S, Np, K):
 def _core_fwd(a, u, W2, b2, valid):
     ap, up, W2p, b2p, vp, n, S, Np, K, B = _pad_args(a, u, W2, b2, valid)
     TI, grid, a_s, u_s, W2_s, b2_s, v_s, o_s = _specs(S, Np, K)
-    pooled = pl.pallas_call(
+    pooled, cnt = pl.pallas_call(
         functools.partial(_fwd_kernel, TI=TI, TJ=TI, K=K, bf16=_use_bf16()),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
             in_specs=[a_s, u_s, W2_s, b2_s, v_s],
-            out_specs=o_s),
-        out_shape=jax.ShapeDtypeStruct((S, Np, _LANES), jnp.float32),
+            out_specs=(o_s, o_s)),
+        out_shape=(jax.ShapeDtypeStruct((S, Np, _LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((S, Np, _LANES), jnp.float32)),
     )(n, ap, up, W2p, b2p, vp)
-    return pooled[:, :a.shape[1], :B], pooled
+    return pooled[:, :a.shape[1], :B], pooled, cnt
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -242,17 +255,17 @@ def pool_core_pallas(a, u, W2, b2, valid):
     """Fused pair core: [S,N,K] a/u, [K,B] W2, [B] b2, [S,N] valid ->
     [S,N,B] pooled (invalid-i rows are zero here — callers re-mask
     anyway)."""
-    out, _ = _core_fwd(a, u, W2, b2, valid)
+    out, _, _ = _core_fwd(a, u, W2, b2, valid)
     return out
 
 
 def _vjp_fwd(a, u, W2, b2, valid):
-    out, pooled_padded = _core_fwd(a, u, W2, b2, valid)
-    return out, (a, u, W2, b2, valid, pooled_padded)
+    out, pooled_padded, cnt = _core_fwd(a, u, W2, b2, valid)
+    return out, (a, u, W2, b2, valid, pooled_padded, cnt)
 
 
 def _vjp_bwd(res, dpool):
-    a, u, W2, b2, valid, pooled_padded = res
+    a, u, W2, b2, valid, pooled_padded, cnt = res
     ap, up, W2p, b2p, vp, n, S, Np, K, B = _pad_args(a, u, W2, b2, valid)
     N = a.shape[1]
     dpool_p = jnp.pad(dpool, ((0, 0), (0, Np - N), (0, _LANES - B)))
@@ -269,7 +282,7 @@ def _vjp_bwd(res, dpool):
         functools.partial(_bwd_kernel, TI=TI, TJ=TI, K=K, bf16=_use_bf16()),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
-            in_specs=[a_s, u_s, W2_s, b2_s, v_s, o_s, o_s],
+            in_specs=[a_s, u_s, W2_s, b2_s, v_s, o_s, o_s, o_s],
             out_specs=(da_s, du_s, dW2_s, db2_s)),
         out_shape=(
             jax.ShapeDtypeStruct((S, Np, K), jnp.float32),
@@ -277,7 +290,7 @@ def _vjp_bwd(res, dpool):
             jax.ShapeDtypeStruct((K, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((1, _LANES), jnp.float32),
         ),
-    )(n, ap, up, W2p, b2p, vp, pooled_padded, dpool_p)
+    )(n, ap, up, W2p, b2p, vp, pooled_padded, cnt, dpool_p)
     return (da[:, :N, :], du[:, :N, :], dW2p[:, :B], db2p[0, :B], None)
 
 
