@@ -93,6 +93,31 @@ def test_gradients_with_relu_ties():
         assert np.allclose(np.asarray(r), np.asarray(k), atol=2e-4)
 
 
+def test_gradients_with_duplicate_row_ties():
+    """Duplicated pedestrians (identical a_j rows) produce exact POSITIVE
+    ties at the max, possibly in different j-tiles; the forward-side
+    running tie count must still split the cotangent evenly like jnp.max
+    autodiff."""
+    a, u, W2, b2, valid = _data(N=24, seed=4)
+    # duplicates within one j-tile (1<->2) and across tiles (0<->17, 3<->22)
+    a = a.at[:, 2].set(a[:, 1]).at[:, 17].set(a[:, 0]).at[:, 22].set(a[:, 3])
+    valid = valid.at[:, [0, 1, 2, 3, 17, 22]].set(1.0)
+
+    def loss(core):
+        def f(a, u, W2, b2):
+            pooled = core(a, u, W2, b2, valid)
+            pooled = jnp.where(valid[..., None] > 0, pooled, 0.0)
+            return jnp.sum(pooled ** 2) + jnp.sum(pooled)
+        return f
+
+    g_ref = jax.grad(loss(pool_core), argnums=(0, 1, 2, 3))(a, u, W2, b2)
+    g_ker = jax.grad(loss(PP.pool_core_pallas), argnums=(0, 1, 2, 3))(
+        a, u, W2, b2)
+    for r, k, name in zip(g_ref, g_ker, ["da", "du", "dW2", "db2"]):
+        assert np.allclose(np.asarray(r), np.asarray(k), atol=2e-4), (
+            name, np.abs(np.asarray(r) - np.asarray(k)).max())
+
+
 # ------------------------------------------------- decomposed vs pair path
 
 def test_fast_path_matches_pair_path():
