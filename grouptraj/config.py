@@ -155,6 +155,12 @@ class TrainConfig:
 
     l2_loss_weight: float = 1.0
     best_k: int = 20
+    # grouptraj extension (no reference equivalent): exponential moving
+    # average of the generator weights, the standard GAN smoothing trick.
+    # 0 = off (reference semantics). When on, the g-step maintains
+    # ema <- d*ema + (1-d)*g and checkpoints add a 'g_ema_state' entry
+    # (evaluate_model --use_ema evaluates it).
+    g_ema_decay: float = 0.0
 
     output_dir: str = "."
     print_every: int = 100

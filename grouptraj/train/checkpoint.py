@@ -34,6 +34,7 @@ from grouptraj.train.steps import TrainState, make_optimizers
 KEY_BLACKLIST = [
     "g_state", "d_state", "g_best_state", "g_best_nl_state",
     "g_optim_state", "d_optim_state", "d_best_state", "d_best_nl_state",
+    "g_ema_state",
 ]
 
 
@@ -65,6 +66,9 @@ def checkpoint_from_state(ckpt: dict, state: TrainState) -> dict:
         jax.device_get(state.d_params), "discriminator")
     ckpt["g_optim_state"] = jax.device_get(state.g_opt)
     ckpt["d_optim_state"] = jax.device_get(state.d_opt)
+    if getattr(state, "ema_g", None) is not None:
+        ckpt["g_ema_state"] = export_state_dicts(
+            jax.device_get(state.ema_g), "generator")
     return ckpt
 
 
@@ -79,7 +83,13 @@ def state_from_checkpoint(ckpt: dict, cfg: ModelConfig, tcfg: TrainConfig
         g_opt = g_tx.init(g_params)
     if d_opt is None or not _opt_compatible(d_opt, d_tx, d_params):
         d_opt = d_tx.init(d_params)
-    return TrainState(g_params, d_params, g_opt, d_opt)
+    ema_g = None
+    if tcfg.g_ema_decay > 0:
+        # resume the saved EMA when present; a run newly switched to EMA
+        # restarts it from the restored weights
+        ema_g = import_generator(ckpt["g_ema_state"]) \
+            if ckpt.get("g_ema_state") is not None else g_params
+    return TrainState(g_params, d_params, g_opt, d_opt, ema_g)
 
 
 def _opt_compatible(opt_state, tx, params) -> bool:

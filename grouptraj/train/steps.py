@@ -40,6 +40,10 @@ class TrainState(NamedTuple):
     d_params: Any
     g_opt: Any
     d_opt: Any
+    # EMA of g_params when TrainConfig.g_ema_decay > 0, else None (None is
+    # an empty pytree subtree, so vmap/sharding/checkpoint slicing all
+    # pass it through untouched)
+    ema_g: Any = None
 
 
 def make_optimizers(tcfg: TrainConfig):
@@ -60,8 +64,10 @@ def init_train_state(key: jax.Array, cfg: ModelConfig, tcfg: TrainConfig
     g_params = init_generator(kg, cfg)
     d_params = init_discriminator(kd, cfg)
     g_tx, d_tx = make_optimizers(tcfg)
+    ema_g = jax.tree_util.tree_map(jnp.asarray, g_params) \
+        if tcfg.g_ema_decay > 0 else None
     return TrainState(g_params, d_params, g_tx.init(g_params),
-                      d_tx.init(d_params))
+                      d_tx.init(d_params), ema_g)
 
 
 def _batch_arrays(batch) -> Dict[str, jnp.ndarray]:
@@ -188,7 +194,13 @@ def build_g_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
         g_params = optax.apply_updates(state.g_params, updates)
         losses = {"G_l2_loss_rel": variety, "G_discriminator_loss": adv,
                   "G_total_loss": total, "norm_g": optax.global_norm(grads)}
-        return state._replace(g_params=g_params, g_opt=g_opt), losses
+        ema_g = state.ema_g
+        if ema_g is not None and tcfg.g_ema_decay > 0:
+            d = tcfg.g_ema_decay
+            ema_g = jax.tree_util.tree_map(
+                lambda e, p: e * d + p * (1.0 - d), ema_g, g_params)
+        return state._replace(g_params=g_params, g_opt=g_opt,
+                              ema_g=ema_g), losses
 
     return g_step
 

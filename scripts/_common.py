@@ -95,6 +95,9 @@ def build_parser(gcn_variant: bool = False) -> argparse.ArgumentParser:
     # Loss options
     p.add_argument("--l2_loss_weight", default=1, type=float)
     p.add_argument("--best_k", default=1 if gcn_variant else 20, type=int)
+    # grouptraj extension: generator weight EMA (0 = off, reference
+    # semantics; see TrainConfig.g_ema_decay)
+    p.add_argument("--g_ema_decay", default=0.0, type=float)
     # Output
     p.add_argument("--output_dir", default=os.getcwd())
     p.add_argument("--print_every", default=100, type=int)
@@ -185,6 +188,7 @@ def configs_from_args(args, gcn_variant: bool = False):
         d_learning_rate=args.d_learning_rate, d_steps=args.d_steps,
         clipping_threshold_d=args.clipping_threshold_d,
         l2_loss_weight=args.l2_loss_weight, best_k=args.best_k,
+        g_ema_decay=args.g_ema_decay,
         output_dir=args.output_dir, print_every=args.print_every,
         checkpoint_every=args.checkpoint_every,
         checkpoint_name=args.checkpoint_name,

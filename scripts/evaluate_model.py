@@ -20,6 +20,10 @@ parser.add_argument("--num_samples", default=20, type=int)
 parser.add_argument("--dset_type", default="test", type=str)
 parser.add_argument("--use_best", default=0, type=int,
                     help="evaluate g_best_state instead of g_state")
+parser.add_argument("--use_ema", default=0, type=int,
+                    help="evaluate g_ema_state (grouptraj extension: "
+                         "generator weight EMA, --g_ema_decay at training "
+                         "time); takes precedence over --use_best")
 parser.add_argument("--seed", default=0, type=int)
 parser.add_argument("--n_buckets", default=3, type=int,
                     help="scene-size buckets for eval batches "
@@ -29,12 +33,15 @@ parser.add_argument("--n_buckets", default=3, type=int,
                          "at a fixed seed by sampling variance")
 
 
-def get_generator(checkpoint, use_best=False):
+def get_generator(checkpoint, use_best=False, use_ema=False):
     from grouptraj.compat import config_from_checkpoint_args, import_generator
 
-    state = checkpoint["g_best_state"] if (
-        use_best and checkpoint.get("g_best_state") is not None
-    ) else checkpoint["g_state"]
+    if use_ema and checkpoint.get("g_ema_state") is not None:
+        state = checkpoint["g_ema_state"]
+    elif use_best and checkpoint.get("g_best_state") is not None:
+        state = checkpoint["g_best_state"]
+    else:
+        state = checkpoint["g_state"]
     cfg = config_from_checkpoint_args(checkpoint["args"], state)
     return cfg, import_generator(state)
 
@@ -61,7 +68,8 @@ def main(args):
         if checkpoint is None or checkpoint.get("g_state") is None:
             print(f"Skipping {path}: no model weights")
             continue
-        cfg, g_params = get_generator(checkpoint, bool(args.use_best))
+        cfg, g_params = get_generator(checkpoint, bool(args.use_best),
+                                      bool(args.use_ema))
         ck_args = checkpoint["args"]
         dpath = get_dset_path(ck_args["dataset_name"], args.dset_type)
 
