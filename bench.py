@@ -29,7 +29,7 @@ def bench_grouptraj(iters: int = 200, batch_size: int = 64,
                     n_buckets: int = 0, n_seeds: int = 1):
     """Measures the production training path: device-resident dataset,
     scene-size-bucketed chunked dispatch (``TrainConfig.steps_per_dispatch``
-    iterations per lax.scan dispatch, default 50; override with --spd),
+    iterations per lax.scan dispatch, default 100; override with --spd),
     zara1, d+g alternation with best-of-20 variety loss.
 
     ``n_seeds > 1`` measures the vmapped multi-seed trainer

@@ -179,9 +179,12 @@ class TrainConfig:
     # Training iterations fused into one dispatch (lax.scan over the
     # device-resident dataset). >1 amortizes host->device roundtrips — the
     # dominant cost on a tunneled TPU; semantics are identical. Measured on
-    # the v5e (zara1, Bo20, bucketed): 5/10/20 ≈ 110-112 it/s, 50 ≈ 128,
-    # 100 ≈ 126 — 50 is the knee (bench.py --spd).
-    steps_per_dispatch: int = 50
+    # the v5e (zara1, Bo20, bucketed): with the round-2 step, 5/10/20 ≈
+    # 110-112 it/s, 50 ≈ 128, 100 ≈ 126; after the round-3 kernel fusions
+    # the faster step moved the knee up: 50 ≈ 309, 100 ≈ 315, 200 ≈ 317
+    # (bench.py --spd). 100 balances the last ~2% against compile time and
+    # metric/checkpoint granularity (both are per-dispatch).
+    steps_per_dispatch: int = 100
     n_max: int = 0                        # 0 = derive from dataset (rounded up to 8)
     # Scene-size buckets for training dispatches (SURVEY.md §7): >1 pads
     # each batch only to its bucket's width instead of the global max

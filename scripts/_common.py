@@ -122,7 +122,7 @@ def build_parser(gcn_variant: bool = False) -> argparse.ArgumentParser:
                    help="override the group graph module "
                         "(default: gat for train.py, none for train_GCN.py)")
     p.add_argument("--seed", default=0, type=int)
-    p.add_argument("--steps_per_dispatch", default=50, type=int,
+    p.add_argument("--steps_per_dispatch", default=100, type=int,
                    help="training iterations fused per device dispatch")
     p.add_argument("--n_max", default=0, type=int,
                    help="pad scenes to this many peds (0 = derive)")
