@@ -129,3 +129,48 @@ def test_train_many_rejects_bad_configs(data_root, tmp_path):
         train_many(cfg, tcfg2, [1, 2])
     with pytest.raises(ValueError, match="duplicate"):
         train_many(cfg, TrainConfig(dataset_name="toy"), [1, 1])
+
+
+def test_train_many_with_ema_and_export(data_root, tmp_path):
+    """The vmapped sweep composes with --g_ema_decay: each seed's
+    checkpoint carries its OWN g_ema_state, and tools/export_ema.py bakes
+    it into g_state for the standard eval path."""
+    out = str(tmp_path / "sweep_ema")
+    cfg = ModelConfig()
+    tcfg = TrainConfig(dataset_name="toy", batch_size=4, num_epochs=0,
+                       num_iterations=3, checkpoint_every=3, print_every=1,
+                       best_k=2, output_dir=out, checkpoint_name="ck",
+                       num_samples_check=50, steps_per_dispatch=3,
+                       g_ema_decay=0.5)
+    seeds = [5, 6]
+    ckpts = train_many(cfg, tcfg, seeds)
+    flat = {}
+    for s in seeds:
+        ck = ckpts[s]
+        assert ck.get("g_ema_state") is not None
+        keys = set(ck["g_state"])
+        assert set(ck["g_ema_state"]) == keys
+        flat[s] = np.concatenate([np.ravel(np.asarray(v))
+                                  for k, v in sorted(
+                                      ck["g_ema_state"].items())])
+    # per-seed EMA actually differs across replicas
+    assert not np.allclose(flat[seeds[0]], flat[seeds[1]])
+
+    # export tool: g_state/g_best_state <- g_ema_state, raw preserved
+    import subprocess
+    import sys as _sys
+    src = os.path.join(out, "s5", "ck_with_model.pt")
+    dst = str(tmp_path / "exported.pt")
+    subprocess.run([_sys.executable, "tools/export_ema.py", src, dst],
+                   check=True, cwd=os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))))
+    from grouptraj.train.checkpoint import load_checkpoint
+    orig = load_checkpoint(src)
+    exp = load_checkpoint(dst)
+    for k in orig["g_ema_state"]:
+        np.testing.assert_array_equal(np.asarray(exp["g_state"][k]),
+                                      np.asarray(orig["g_ema_state"][k]))
+        np.testing.assert_array_equal(np.asarray(exp["g_best_state"][k]),
+                                      np.asarray(orig["g_ema_state"][k]))
+        np.testing.assert_array_equal(np.asarray(exp["g_raw_state"][k]),
+                                      np.asarray(orig["g_state"][k]))
