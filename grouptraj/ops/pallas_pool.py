@@ -253,8 +253,10 @@ def _core_fwd(a, u, W2, b2, valid):
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def pool_core_pallas(a, u, W2, b2, valid):
     """Fused pair core: [S,N,K] a/u, [K,B] W2, [B] b2, [S,N] valid ->
-    [S,N,B] pooled (invalid-i rows are zero here — callers re-mask
-    anyway)."""
+    [S,N,B] pooled. Invalid-i rows are UNDEFINED (zero only when their
+    whole i-tile is skipped; inside an active tile they carry the
+    unmasked max) — callers must re-mask with valid, as pool_hidden_net
+    does."""
     out, _, _ = _core_fwd(a, u, W2, b2, valid)
     return out
 

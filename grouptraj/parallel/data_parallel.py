@@ -84,6 +84,12 @@ def dryrun_multichip(n_devices: int) -> None:
     mesh = make_mesh(n_devices, devices)
 
     cfg = ModelConfig()                      # flagship GAT preset
+    # mirror train()'s n_dev>1 override (loop.py): GSPMD can't partition
+    # the Pallas pool kernel across the mesh — multi-device training runs
+    # the decomposed XLA pool, so the dryrun must exercise exactly that
+    import dataclasses as _dc
+    if cfg.pool_impl in ("auto", "pallas"):
+        cfg = _dc.replace(cfg, pool_impl="fast")
     tcfg = TrainConfig(best_k=3, batch_size=2 * n_devices)
     key = jax.random.PRNGKey(0)
     state0 = init_train_state(key, cfg, tcfg)

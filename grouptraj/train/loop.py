@@ -66,6 +66,68 @@ def _sweep_indices(num_seq: int, batch_size: int,
     return full.astype(np.int32).reshape(nb, batch_size)
 
 
+def make_train_eval_subset(tcfg: TrainConfig, train_dense):
+    """Shuffled-subset sizing for the train-split ``check_accuracy`` sweep:
+    a fixed batch count covering ~``num_samples_check`` valid trajectories
+    (fixed so every metric event reuses one compiled sweep shape). Returns
+    ``(eval_rng, nb_limit)``; callers draw each event's subset order from
+    ``eval_rng``. Shared by train() and the multi-seed trainer."""
+    eval_rng = np.random.default_rng(tcfg.seed + 7919)
+    valid_per_scene = train_dense.valid.sum(axis=1)
+    csum = np.cumsum(valid_per_scene[eval_rng.permutation(
+        train_dense.num_seq)])
+    need = int(np.searchsorted(csum, tcfg.num_samples_check) + 1)
+    nb_limit = max(1, -(-min(need, train_dense.num_seq)
+                        // tcfg.batch_size))
+    return eval_rng, nb_limit
+
+
+class DispatchSource:
+    """Training-batch index source: scene-size buckets (``sched``/``datas``/
+    ``buckets``) or a single-width shuffled stream (``stream``/``data``).
+    Built by :func:`make_dispatch_source`; shared by train() and the
+    multi-seed trainer. ``tcfg`` is the possibly-adjusted config (an
+    explicit ``n_max`` disables bucketing)."""
+
+    def __init__(self, tcfg, sched=None, datas=None, buckets=None,
+                 stream=None, data=None):
+        self.tcfg = tcfg
+        self.sched = sched
+        self.datas = datas
+        self.buckets = buckets
+        self.stream = stream
+        self.index_iter = iter(stream) if stream is not None else None
+        self.data = data
+
+
+def make_dispatch_source(cfg: ModelConfig, tcfg: TrainConfig, train_dset,
+                         train_loader, data_sharding=None) -> DispatchSource:
+    if tcfg.n_max and tcfg.n_buckets > 1:
+        # An explicit --n_max is a request for one fixed pad width (e.g. to
+        # reuse a persistent XLA cache or bound memory); honor it instead of
+        # silently substituting quantile-derived bucket widths.
+        logger.info("--n_max %d set: disabling scene-size buckets and "
+                    "padding every batch to that width", tcfg.n_max)
+        tcfg = dataclasses.replace(tcfg, n_buckets=1)
+    if tcfg.n_buckets > 1:
+        from grouptraj.train.device_data import BucketScheduler, make_buckets
+        buckets = make_buckets(train_dset, tcfg.n_buckets, tcfg.batch_size)
+        datas = [device_dataset(DenseDataset(train_dset, w, indices=idx),
+                                cfg.obs_len, sharding=data_sharding)
+                 for w, idx in buckets]
+        sched = BucketScheduler([len(idx) for _, idx in buckets],
+                                tcfg.batch_size, seed=tcfg.seed)
+        logger.info("Scene-size buckets (width, scenes): %s",
+                    [(w, len(i)) for w, i in buckets])
+        return DispatchSource(tcfg, sched=sched, datas=datas,
+                              buckets=buckets)
+    data = device_dataset(train_loader.dense, cfg.obs_len,
+                          sharding=data_sharding)
+    stream = IndexStream(train_loader.dense.num_seq, tcfg.batch_size,
+                         seed=tcfg.seed, shuffle=True)
+    return DispatchSource(tcfg, stream=stream, data=data)
+
+
 def train(cfg: ModelConfig, tcfg: TrainConfig,
           args_snapshot: Optional[dict] = None) -> dict:
     """Run training; returns the final checkpoint dict."""
@@ -145,6 +207,9 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
         ckpt["restore_ts"].append(t)
     else:
         ckpt = ckpt_lib.new_checkpoint(args_snapshot)
+    # stream/scheduler epoch counters start at 0 in THIS process; offset by
+    # the restored epoch so resumed runs keep a monotonic epoch provenance
+    epoch0 = epoch
 
     # ---- device-resident metric sweeps: val + (limited) train check_accuracy
     # run as ONE dispatch each (make_check_accuracy_sweep) — a fused
@@ -156,15 +221,7 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
     train_eval_data = device_dataset(train_loader.dense, cfg.obs_len,
                                      sharding=data_sharding)
     val_idx_host = _sweep_indices(val_loader.dense.num_seq, tcfg.batch_size)
-    eval_rng = np.random.default_rng(tcfg.seed + 7919)
-    # fixed shuffled-subset size covering ~num_samples_check valid trajs
-    # (fixed so every event reuses one compiled sweep shape)
-    valid_per_scene = train_loader.dense.valid.sum(axis=1)
-    csum = np.cumsum(valid_per_scene[eval_rng.permutation(
-        train_loader.dense.num_seq)])
-    need = int(np.searchsorted(csum, tcfg.num_samples_check) + 1)
-    nb_limit = max(1, -(-min(need, train_loader.dense.num_seq)
-                        // tcfg.batch_size))
+    eval_rng, nb_limit = make_train_eval_subset(tcfg, train_loader.dense)
 
     def run_sweep(data, idx_host, key, n_batches, pred_len):
         idx = (jax.device_put(idx_host, idx_shard_2d)
@@ -198,30 +255,11 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
     # `chunk` full iterations under one lax.scan (see train/device_data.py).
     spi = tcfg.d_steps + tcfg.g_steps
     chunk = max(1, tcfg.steps_per_dispatch)
-    if tcfg.n_max and tcfg.n_buckets > 1:
-        # An explicit --n_max is a request for one fixed pad width (e.g. to
-        # reuse a persistent XLA cache or bound memory); honor it instead of
-        # silently substituting quantile-derived bucket widths.
-        logger.info("--n_max %d set: disabling scene-size buckets and "
-                    "padding every batch to that width", tcfg.n_max)
-        tcfg = dataclasses.replace(tcfg, n_buckets=1)
-    if tcfg.n_buckets > 1:
-        from grouptraj.train.device_data import BucketScheduler, make_buckets
-        buckets = make_buckets(train_dset, tcfg.n_buckets, tcfg.batch_size)
-        datas = [device_dataset(DenseDataset(train_dset, w, indices=idx),
-                                cfg.obs_len, sharding=data_sharding)
-                 for w, idx in buckets]
-        sched = BucketScheduler([len(idx) for _, idx in buckets],
-                                tcfg.batch_size, seed=tcfg.seed)
-        stream = None
-        logger.info("Scene-size buckets (width, scenes): %s",
-                    [(w, len(i)) for w, i in buckets])
-    else:
-        data = device_dataset(train_loader.dense, cfg.obs_len,
-                              sharding=data_sharding)
-        stream = IndexStream(train_loader.dense.num_seq, tcfg.batch_size,
-                             seed=tcfg.seed, shuffle=True)
-        index_iter = iter(stream)
+    src = make_dispatch_source(cfg, tcfg, train_dset, train_loader,
+                               data_sharding)
+    tcfg = src.tcfg
+    sched, datas, buckets = src.sched, src.datas, src.buckets
+    stream, index_iter, data = src.stream, src.index_iter, src.data
     runners = {}
 
     def get_runner(c):
@@ -239,14 +277,14 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
             bucket_id, idx = sched.next_dispatch(this_chunk, spi)
             data = datas[bucket_id]
             window_traj += this_chunk * tcfg.batch_size * buckets[bucket_id][0]
-            cur_epoch = sched.epoch
+            cur_epoch = epoch0 + sched.epoch
         else:
             idx = np.stack([
                 np.stack([next(index_iter) for _ in range(spi)])
                 for _ in range(this_chunk)])
             window_traj += (this_chunk * tcfg.batch_size
                             * train_loader.dense.n_max)
-            cur_epoch = stream.epoch
+            cur_epoch = epoch0 + stream.epoch
         if cur_epoch != logged_epoch:
             logged_epoch = cur_epoch
             logger.info("Starting epoch %d", logged_epoch)
@@ -306,7 +344,8 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
 
         if t_prev // tcfg.checkpoint_every != t // tcfg.checkpoint_every:
             drain_norms()
-            epoch = stream.epoch if stream is not None else logged_epoch
+            epoch = (epoch0 + stream.epoch if stream is not None
+                     else logged_epoch)
             ckpt["counters"]["t"] = t
             ckpt["counters"]["epoch"] = epoch
             ckpt["sample_ts"].append(t)

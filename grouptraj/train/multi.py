@@ -37,8 +37,11 @@ import numpy as np
 
 from grouptraj.config import ModelConfig, TrainConfig
 from grouptraj.train import checkpoint as ckpt_lib
-from grouptraj.train.device_data import IndexStream, device_dataset
-from grouptraj.train.loop import _sweep_indices, build_loaders
+from grouptraj.train.device_data import device_dataset
+from grouptraj.train.loop import (
+    _sweep_indices, build_loaders, make_dispatch_source,
+    make_train_eval_subset,
+)
 from grouptraj.train.steps import (
     build_check_accuracy_sweep, build_train_chunk, init_train_state,
     summarize_check_accuracy,
@@ -70,6 +73,14 @@ def train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
                          "(checkpoint_start_from); replicas always start "
                          "fresh")
     impl = select_impl(cfg, tcfg)
+    if impl != "scan":
+        # same reason as the pool guard below: Mosaic pallas_calls
+        # (ops/pallas_lstm.py, ops/pallas_fused.py) are not validated under
+        # the seed-axis vmap's auto-batching — the scan path is the
+        # vmap-safe numerical twin ('auto' only picks pallas at H>=64,
+        # which no reference config reaches)
+        logger.info("train_many: lstm_impl %s -> scan (vmap-safe)", impl)
+        impl = "scan"
     if cfg.pool_impl in ("auto", "pallas"):
         # the fused Pallas pool kernel does not compose with the seed-axis
         # vmap (pallas_call auto-batching emits illegal Mosaic blocks);
@@ -109,13 +120,7 @@ def train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
     val_data = device_dataset(val_loader.dense, cfg.obs_len)
     train_eval_data = device_dataset(train_loader.dense, cfg.obs_len)
     val_idx_host = _sweep_indices(val_loader.dense.num_seq, tcfg.batch_size)
-    eval_rng = np.random.default_rng(tcfg.seed + 7919)
-    valid_per_scene = train_loader.dense.valid.sum(axis=1)
-    csum = np.cumsum(valid_per_scene[eval_rng.permutation(
-        train_loader.dense.num_seq)])
-    need = int(np.searchsorted(csum, tcfg.num_samples_check) + 1)
-    nb_limit = max(1, -(-min(need, train_loader.dense.num_seq)
-                        // tcfg.batch_size))
+    eval_rng, nb_limit = make_train_eval_subset(tcfg, train_loader.dense)
 
     def run_sweeps(data, idx_host, keys, n_batches, pred_len):
         sums = jax.device_get(vsweep(states, data, jnp.asarray(idx_host),
@@ -125,27 +130,12 @@ def train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
             for i in range(n_seeds)]
 
     # one shared batch schedule (see module docstring); buckets as in train()
-    import dataclasses
     spi = tcfg.d_steps + tcfg.g_steps
     chunk = max(1, tcfg.steps_per_dispatch)
-    if tcfg.n_max and tcfg.n_buckets > 1:
-        tcfg = dataclasses.replace(tcfg, n_buckets=1)
-    if tcfg.n_buckets > 1:
-        from grouptraj.data import DenseDataset
-        from grouptraj.train.device_data import BucketScheduler, make_buckets
-        buckets = make_buckets(train_dset, tcfg.n_buckets, tcfg.batch_size)
-        datas = [device_dataset(DenseDataset(train_dset, w, indices=idx),
-                                cfg.obs_len) for w, idx in buckets]
-        sched = BucketScheduler([len(idx) for _, idx in buckets],
-                                tcfg.batch_size, seed=tcfg.seed)
-        stream = None
-        logger.info("Scene-size buckets (width, scenes): %s",
-                    [(w, len(i)) for w, i in buckets])
-    else:
-        data = device_dataset(train_loader.dense, cfg.obs_len)
-        stream = IndexStream(train_loader.dense.num_seq, tcfg.batch_size,
-                             seed=tcfg.seed, shuffle=True)
-        index_iter = iter(stream)
+    src = make_dispatch_source(cfg, tcfg, train_dset, train_loader)
+    tcfg = src.tcfg
+    sched, datas = src.sched, src.datas
+    stream, index_iter, data = src.stream, src.index_iter, src.data
 
     runners = {}
 

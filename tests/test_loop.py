@@ -51,6 +51,11 @@ def test_train_checkpoint_resume_eval(data_root, tmp_path):
     ckpt2 = train(mcfg, tcfg2)
     assert ckpt2["counters"]["t"] == 6
     assert 4 in ckpt2["restore_ts"]
+    # epoch provenance stays monotonic across resume: the fresh process's
+    # stream/scheduler counters are offset by the restored epoch (review
+    # finding r3: they used to reset to 0)
+    assert (ckpt2["counters"]["epoch"] or 0) >= (ckpt["counters"]["epoch"]
+                                                 or 0)
 
     # the saved checkpoint reloads through the eval path
     from grouptraj.compat import (
