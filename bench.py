@@ -355,6 +355,46 @@ def bench_reference(iters: int = 3, batch_size: int = 64) -> float:
     return iters / (time.time() - t0)
 
 
+def wait_for_device(budget_s: float = 1800.0) -> None:
+    """Block until a trivial device op succeeds, up to ``budget_s``.
+
+    The axon host<->TPU tunnel intermittently wedges for minutes to hours
+    (CLAUDE.md); a bench launched into a wedged tunnel would otherwise hang
+    inside the warmup dispatch with nothing recorded. Probe in a SUBPROCESS
+    with a hard timeout (the wedge blocks in C++ where Python signal
+    handlers never run), and only start measuring once a probe round-trips.
+    After the budget, fall through and let the normal path try anyway —
+    never worse than the old behavior. Opt out with GROUPTRAJ_BENCH_WAIT=0.
+    """
+    import subprocess
+
+    # GROUPTRAJ_PLATFORM wins: this container pins JAX_PLATFORMS=axon
+    # globally, and GROUPTRAJ_PLATFORM=cpu is the documented way to override
+    # it (CLAUDE.md / scripts/_common.py)
+    plat = (os.environ.get("GROUPTRAJ_PLATFORM", "")
+            or os.environ.get("JAX_PLATFORMS", "")).strip().lower()
+    if plat == "cpu":        # deliberate CPU bench — nothing to wait for
+        return
+    budget_s = float(os.environ.get("GROUPTRAJ_BENCH_WAIT", budget_s))
+    deadline = time.time() + budget_s
+    probe = ("import jax, numpy as np\n"
+             "np.asarray(jax.numpy.ones((8, 8)) @ jax.numpy.ones((8, 8)))\n")
+    first = True
+    while time.time() < deadline:
+        try:
+            subprocess.run([sys.executable, "-c", probe], check=True,
+                           timeout=120, capture_output=True)
+            return
+        except Exception:
+            if first:
+                print("bench: device probe failed (wedged tunnel?); "
+                      f"retrying for up to {budget_s:.0f}s", file=sys.stderr)
+                first = False
+            time.sleep(60)
+    print("bench: device never became healthy within the wait budget; "
+          "attempting the measurement anyway", file=sys.stderr)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=200)
@@ -377,6 +417,7 @@ if __name__ == "__main__":
                           "value": round(ref, 4), "unit": "iters/s",
                           "vs_baseline": 1.0}))
     else:
+        wait_for_device()
         ips_med, ips_best = bench_grouptraj(
             args.iters, impl_override=args.impl, spd=args.spd,
             n_buckets=args.n_buckets)

@@ -98,3 +98,27 @@ def test_scripts_importable(script):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert hasattr(mod, "parser") or hasattr(mod, "main")
+
+
+def test_bench_wait_for_device_guards(monkeypatch):
+    """bench.wait_for_device must return immediately for deliberate CPU
+    benches and when the wait budget is zeroed out — never probe-loop."""
+    import time
+
+    repo = os.path.dirname(SCRIPTS)
+    sys.path.insert(0, repo)
+    import bench
+
+    # the container pins JAX_PLATFORMS=axon globally; GROUPTRAJ_PLATFORM=cpu
+    # must still win (it is the documented CPU override)
+    monkeypatch.setenv("GROUPTRAJ_PLATFORM", "cpu")
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    t0 = time.time()
+    bench.wait_for_device()
+    assert time.time() - t0 < 1.0
+
+    monkeypatch.setenv("GROUPTRAJ_PLATFORM", "")
+    monkeypatch.setenv("GROUPTRAJ_BENCH_WAIT", "0")
+    t0 = time.time()
+    bench.wait_for_device()            # budget 0: falls through instantly
+    assert time.time() - t0 < 1.0
