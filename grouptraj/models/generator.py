@@ -24,7 +24,9 @@ from grouptraj.models.modules import (
     init_gat_encoder, init_gat_encoder_mh, init_gcn_module, init_gcn_pooling,
 )
 from grouptraj.ops.linear import init_linear, init_mlp, linear, mlp_forward
-from grouptraj.ops.lstm import init_lstm, lstm_cell, lstm_gates, lstm_scan
+from grouptraj.ops.lstm import (
+    encoder_recurrence, init_lstm, lstm_cell, lstm_gates, lstm_scan,
+)
 from grouptraj.ops.noise import get_noise
 from grouptraj.ops.pooling import init_pool_hidden_net, pool_hidden_net
 
@@ -33,8 +35,21 @@ def _encode(enc_params: dict, traj_rel: jnp.ndarray, impl: str) -> jnp.ndarray:
     """Shared encoder: Linear(2→emb) then LSTM over time; returns final h.
 
     traj_rel: [S, N, T, 2] -> [S, N, H]. (reference Encoder, models.py:32-92)
+
+    On the scan path the embedding folds into the recurrence —
+    ``gates_t = x_t @ (W_e W_ih) + (b_e W_ih + b_ih + b_hh) + h @ W_hh`` —
+    exact algebra (the reference's spatial_embedding is a bare Linear), so
+    no embedded-input, gx, or dgx slab is ever materialized; see
+    :func:`grouptraj.ops.lstm.encoder_recurrence` for the measured why.
     """
     S, N, T, _ = traj_rel.shape
+    if impl == "scan":
+        se, lstm = enc_params["spatial_embedding"], enc_params["lstm"]
+        w_comp = se["w"] @ lstm["w_ih"]                       # [2, 4H]
+        b_comp = se["b"] @ lstm["w_ih"] + lstm["b_ih"] + lstm["b_hh"]
+        xs = jnp.moveaxis(traj_rel.reshape(S * N, T, 2), 1, 0)
+        h_t, _ = encoder_recurrence(w_comp, b_comp, lstm["w_hh"], xs)
+        return h_t.reshape(S, N, -1)
     emb = linear(enc_params["spatial_embedding"], traj_rel)  # [S, N, T, E]
     xs = jnp.moveaxis(emb.reshape(S * N, T, -1), 1, 0)        # [T, S*N, E]
     _, (h_t, _) = lstm_scan(enc_params["lstm"], xs, impl=impl)
@@ -394,6 +409,11 @@ def _decode_folded(dec: dict, cfg: ModelConfig, h0: jnp.ndarray,
     rel0 = last_pos_rel.reshape(B, 2)
     h1, c1 = lstm_gates(rel0 @ w_r + h @ lstm["w_hh"] + b_1, c, H)
 
+    # project each part to rel-space BEFORE concatenating: the concat (and
+    # its backward split) then moves [T, B, 2] instead of a [T, B, H] slab —
+    # at the g-step's [k·S·N] batch the H-wide concat/split was ~0.35 ms/iter
+    # of pure HBM traffic (tools/profile_step.py `split` op)
+    rel1 = (h1 @ w_p + b_p)[None]                        # [1, B, 2]
     if T > 1:
         if impl == "fused" and jax.default_backend() == "tpu":
             from grouptraj.ops.pallas_fused import decoder_recurrence_pallas
@@ -401,9 +421,8 @@ def _decode_folded(dec: dict, cfg: ModelConfig, h0: jnp.ndarray,
         else:
             from grouptraj.ops.lstm import decoder_recurrence
             ys = decoder_recurrence(w_eff, b_eff, h1, c1, T - 1)
-        hs = jnp.concatenate([h1[None], ys], axis=0)     # [T, B, H]
+        rels = jnp.concatenate([rel1, ys @ w_p + b_p], axis=0)  # [T, B, 2]
     else:
-        hs = h1[None]
-    rels = hs @ w_p + b_p                                # [T, B, 2], one matmul
+        rels = rel1
     pred_rel = jnp.moveaxis(rels, 0, 1).reshape(S, N, T, 2)
     return pred_rel * valid[..., None, None]

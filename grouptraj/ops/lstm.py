@@ -190,6 +190,83 @@ lstm_recurrence.defvjp(lambda w, gx, h0, c0: _lstm_recurrence_fwd(
     w, gx, h0, c0), _lstm_recurrence_bwd)
 
 
+@jax.custom_vjp
+def encoder_recurrence(w_comp, b_comp, w_hh, xs):
+    """Whole encoder leg — folded embedding + LSTM — returning (hT, cT) only.
+
+    ``w_comp = W_e @ W_ih`` [2, 4H] and ``b_comp = b_e @ W_ih + b_ih + b_hh``
+    fold the (bare Linear) spatial embedding into the input-gate products —
+    exact algebra, same as the folded decoder (reference Encoder has no
+    nonlinearity between the embedding and the LSTM, ``sgan/models.py:50-56``).
+    xs is the RAW [T, B, 2] rel-coord input.
+
+    The point vs ``lstm_recurrence`` over a precomputed gx (round-3
+    profiling, tools/profile_step.py + tools/attr_ops.py): encoders only
+    ever use the FINAL hidden state, yet the gx formulation writes a
+    [T, B, 4H] gx slab, saves it as a residual, and its backward zero-inits
+    + update-slices + re-reads a same-sized dzs slab (dgx) — at the d-step's
+    stacked discriminator encoder that is ~126 MB of pure HBM traffic per
+    slab pass. Here the forward emits only the (h, c) step states
+    (unavoidable backward residents), the backward recomputes the tiny
+    per-step gate input ``x_t @ w_comp + b_comp`` from xs ([B, 2] — data
+    already resident as the reverse scan's input) and accumulates ALL
+    weight gradients in the carry; the only slab it emits is dxs [T, B, 2]
+    (needed in the g-step, where the discriminator input is the generator's
+    output). Gradients match plain autodiff of the unfolded encoder to fp
+    tolerance (tests/test_ops.py).
+    """
+    return _enc_recurrence_fwd(w_comp, b_comp, w_hh, xs)[0]
+
+
+def _enc_recurrence_fwd(w_comp, b_comp, w_hh, xs):
+    B = xs.shape[1]
+    H = w_hh.shape[0]
+    h0 = jnp.zeros((B, H), xs.dtype)
+
+    def step(carry, x):
+        h, c = carry
+        h2, c2 = lstm_gates(x @ w_comp + b_comp + h @ w_hh, c, H)
+        return (h2, c2), (h, c)
+
+    (hT, cT), (hs_prev, cs_prev) = jax.lax.scan(
+        step, (h0, h0), xs, unroll=scan_unroll())
+    return (hT, cT), (w_comp, b_comp, w_hh, xs, hs_prev, cs_prev)
+
+
+def _enc_recurrence_bwd(res, cts):
+    w_comp, b_comp, w_hh, xs, hs_prev, cs_prev = res
+    dhT, dcT = cts
+    H = hs_prev.shape[-1]
+
+    def bstep(carry, inp):
+        dh_next, dc_next, dwc, dwh, db = carry
+        x, h_prev, c_prev = inp
+        z = x @ w_comp + b_comp + h_prev @ w_hh      # recompute, no gx slab
+        dz, dc_chain = _gate_bwd(z, c_prev, dh_next, dc_next, H)
+        dh_chain = jax.lax.dot_general(              # dz @ w_hhᵀ
+            dz, w_hh, (((1,), (1,)), ((), ())))
+        dwh = dwh + jax.lax.dot_general(             # h_prevᵀ @ dz, in-carry
+            h_prev, dz, (((0,), (0,)), ((), ())))
+        dwc = dwc + jax.lax.dot_general(             # xᵀ @ dz, in-carry
+            x, dz, (((0,), (0,)), ((), ())))
+        dx = jax.lax.dot_general(                    # dz @ w_compᵀ
+            dz, w_comp, (((1,), (1,)), ((), ())))
+        return (dh_chain, dc_chain, dwc, dwh, db + jnp.sum(dz, axis=0)), dx
+
+    (dh0, dc0, dwc, dwh, db), dxs = jax.lax.scan(
+        bstep,
+        (dhT, dcT, jnp.zeros_like(w_comp), jnp.zeros_like(w_hh),
+         jnp.zeros_like(b_comp)),
+        (xs, hs_prev, cs_prev), reverse=True, unroll=scan_unroll())
+    return dwc, db, dwh, dxs
+
+
+encoder_recurrence.defvjp(
+    lambda w_comp, b_comp, w_hh, xs: _enc_recurrence_fwd(
+        w_comp, b_comp, w_hh, xs),
+    _enc_recurrence_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def decoder_recurrence(w_eff, b_eff, h1, c1, T):
     """T steps of the folded-decoder recurrence (constant input b_eff):

@@ -13,9 +13,11 @@ widest training bucket, the measured #1 cost of the training step
 (tools/profile_step.py). This kernel computes the core tile-by-tile in
 VMEM so no N² tensor ever reaches HBM, and skips padding:
 
-- grid ``(S, N/TI)`` with the i-tile axis minor: the per-scene ``a``,
-  ``valid`` and count blocks keep the same index across consecutive grid
-  steps, so Mosaic leaves them resident instead of re-fetching;
+- grid ``(S/SB,)`` with SB scenes per grid step (``_scene_block``: ~256
+  pedestrian rows per block) and the scene/i-tile loops INSIDE the kernel:
+  the first revision used one (scene, i-tile) pair per grid step and was
+  grid-step bound — ~0.9 µs/step × 256 steps ≈ its whole 258 µs forward at
+  [64, 64, 512] (tools/pool_bench.py), ~7× off the MXU roofline;
 - **size-aware bounds**: scene sizes vary 17–64 inside the widest training
   bucket (mean ~29 → ~22% pair fill), so a dense kernel wastes ~4.5× its
   compute on padding. Each scene carries ``n_s = max_j (j+1)·valid_j``
@@ -33,9 +35,8 @@ VMEM so no N² tensor ever reaches HBM, and skips padding:
   exactly like XLA's reduce-max VJP) is accumulated by the FORWARD as a
   running count alongside the running max and saved as a residual, so the
   backward is a single j-pass: form ``g = dpool·eq/cnt`` and accumulate
-  ``da`` (per scene, revisited output block), ``du`` (per i-tile), and
-  ``dW2``/``db2`` (whole grid, revisited block initialized at the first
-  visit).
+  ``da``/``du`` (per scene-block output) and ``dW2``/``db2`` (whole grid,
+  revisited block initialized at the first grid step).
 
 Gradient summation ORDER differs from XLA autodiff (per-tile
 accumulation), so weight grads match to f32 tolerance, not bit-exactly
@@ -63,6 +64,17 @@ _LANES = 128     # bottleneck padded to one lane tile
 def _tile_rows(N: int) -> int:
     """i/j tile edge: small buckets keep 8 (less padding), wider use 16."""
     return 8 if N <= 16 else 16
+
+
+def _scene_block(Np: int) -> int:
+    """Scenes per grid step. Round-3 microbenchmark (tools/pool_bench.py):
+    with one (scene, i-tile) pair per grid step the kernel was grid-step
+    bound — ~0.9 µs/step × 256 steps ≈ the whole 258 µs forward at
+    [64, 64, 512], ~7× off the MXU roofline. Blocking ~256 pedestrian rows
+    of scenes per step (0.5 MB a-slab per ref at K=512; ×2 Mosaic
+    double-buffering stays well under the 16 MB VMEM scope) cuts the grid
+    to S/SB steps and loops scenes/i-tiles inside the kernel."""
+    return max(1, 256 // Np)
 
 
 def _use_bf16() -> bool:
@@ -95,10 +107,10 @@ def _dot_nt(x, y, bf16):
                                preferred_element_type=jnp.float32)
 
 
-def _jtile_forward(a_ref, valid_ref, u_t, W2, b2, j, *, TI, TJ, K, bf16):
+def _jtile_forward(a_ref, valid_ref, u_t, W2, b2, j, *, s, TI, TJ, K, bf16):
     """(z, h1, o_masked) for one (i-tile, j-tile): o [TI, TJ, _LANES]."""
-    a_j = a_ref[0, pl.ds(j * TJ, TJ), :]                    # [TJ, K]
-    v_j = valid_ref[0, pl.ds(j * TJ, TJ), :]                # [TJ, 1]
+    a_j = a_ref[s, pl.ds(j * TJ, TJ), :]                    # [TJ, K]
+    v_j = valid_ref[s, pl.ds(j * TJ, TJ), :]                # [TJ, 1]
     z = a_j[None, :, :] - u_t[:, None, :]                   # [TI, TJ, K]
     h1 = jax.nn.relu(z)
     q = _dot(h1.reshape(TI * TJ, K), W2, bf16) + b2         # [TI·TJ, Bp]
@@ -108,17 +120,15 @@ def _jtile_forward(a_ref, valid_ref, u_t, W2, b2, j, *, TI, TJ, K, bf16):
 
 
 def _fwd_kernel(n_ref, a_ref, u_ref, W2_ref, b2_ref, valid_ref, out_ref,
-                cnt_ref, *, TI, TJ, K, bf16):
-    s = pl.program_id(0)
-    t = pl.program_id(1)
-    ni = n_ref[s]
-    out_ref[0] = jnp.zeros((TI, _LANES), jnp.float32)
-    cnt_ref[0] = jnp.zeros((TI, _LANES), jnp.float32)
+                cnt_ref, *, SB, TI, TJ, K, bf16):
+    sb0 = pl.program_id(0) * SB
+    W2, b2 = W2_ref[:], b2_ref[0]
+    out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    cnt_ref[...] = jnp.zeros(cnt_ref.shape, cnt_ref.dtype)
 
-    @pl.when(t * TI < ni)
-    def _():
-        u_t = u_ref[0]
-        W2, b2 = W2_ref[:], b2_ref[0]
+    for s in range(SB):                                     # unrolled
+        ni = n_ref[sb0 + s]
+        nit = (ni + TI - 1) // TI
         njt = (ni + TJ - 1) // TJ
 
         # running (max, tie count): cnt tracks how many j attain the
@@ -128,73 +138,82 @@ def _fwd_kernel(n_ref, a_ref, u_ref, W2_ref, b2_ref, valid_ref, out_ref,
         # like XLA's jnp.max autodiff). Computing it here costs one
         # elementwise compare/sum per tile; the backward saves a whole
         # recompute pass (incl. its matmul) per tile.
-        def jbody(j, carry):
-            m, c = carry
-            _, _, o = _jtile_forward(a_ref, valid_ref, u_t, W2, b2, j,
-                                     TI=TI, TJ=TJ, K=K, bf16=bf16)
-            m_new = jnp.maximum(m, jnp.max(o, axis=1))
-            keep = (m == m_new).astype(jnp.float32)
-            tile_cnt = jnp.sum((o == m_new[:, None, :]).astype(jnp.float32),
-                               axis=1)
-            return m_new, c * keep + tile_cnt
+        def ibody(t, _, s=s, njt=njt):
+            u_t = u_ref[s, pl.ds(t * TI, TI), :]
 
-        m, c = jax.lax.fori_loop(
-            0, njt, jbody,
-            (jnp.full((TI, _LANES), _NEG, jnp.float32),
-             jnp.zeros((TI, _LANES), jnp.float32)))
-        out_ref[0] = m
-        cnt_ref[0] = c
+            def jbody(j, carry):
+                m, c = carry
+                _, _, o = _jtile_forward(a_ref, valid_ref, u_t, W2, b2, j,
+                                         s=s, TI=TI, TJ=TJ, K=K, bf16=bf16)
+                m_new = jnp.maximum(m, jnp.max(o, axis=1))
+                keep = (m == m_new).astype(jnp.float32)
+                tile_cnt = jnp.sum(
+                    (o == m_new[:, None, :]).astype(jnp.float32), axis=1)
+                return m_new, c * keep + tile_cnt
+
+            m, c = jax.lax.fori_loop(
+                0, njt, jbody,
+                (jnp.full((TI, _LANES), _NEG, jnp.float32),
+                 jnp.zeros((TI, _LANES), jnp.float32)))
+            out_ref[s, pl.ds(t * TI, TI), :] = m
+            cnt_ref[s, pl.ds(t * TI, TI), :] = c
+            return 0
+
+        jax.lax.fori_loop(0, nit, ibody, 0)
 
 
 def _bwd_kernel(n_ref, a_ref, u_ref, W2_ref, b2_ref, valid_ref, pool_ref,
                 cnt_ref, dpool_ref, da_ref, du_ref, dW2_ref, db2_ref,
-                *, TI, TJ, K, bf16):
-    s = pl.program_id(0)
-    t = pl.program_id(1)
-    ni = n_ref[s]
-    du_ref[0] = jnp.zeros((TI, K), jnp.float32)
+                *, SB, TI, TJ, K, bf16):
+    sb0 = pl.program_id(0) * SB
+    W2, b2 = W2_ref[:], b2_ref[0]
+    da_ref[...] = jnp.zeros(da_ref.shape, da_ref.dtype)
+    du_ref[...] = jnp.zeros(du_ref.shape, du_ref.dtype)
 
-    @pl.when(t == 0)
-    def _():
-        da_ref[0] = jnp.zeros_like(da_ref[0])
-
-    @pl.when(jnp.logical_and(s == 0, t == 0))
+    @pl.when(pl.program_id(0) == 0)
     def _():
         dW2_ref[:] = jnp.zeros_like(dW2_ref[:])
         db2_ref[:] = jnp.zeros_like(db2_ref[:])
 
-    @pl.when(t * TI < ni)
-    def _():
-        u_t = u_ref[0]
-        W2, b2 = W2_ref[:], b2_ref[0]
-        pool_t = pool_ref[0]                                 # [TI, Bp]
-        dpool_t = dpool_ref[0]
+    for s in range(SB):                                     # unrolled
+        ni = n_ref[sb0 + s]
+        nit = (ni + TI - 1) // TI
         njt = (ni + TJ - 1) // TJ
 
-        # tie counts were accumulated by the forward (saved residual);
-        # the reduce-max VJP splits the cotangent evenly among ties,
-        # like jnp.max autodiff
-        gd = dpool_t / jnp.maximum(cnt_ref[0], 1.0)          # [TI, Bp]
+        def ibody(t, _, s=s, njt=njt):
+            u_t = u_ref[s, pl.ds(t * TI, TI), :]
+            pool_t = pool_ref[s, pl.ds(t * TI, TI), :]       # [TI, Bp]
+            dpool_t = dpool_ref[s, pl.ds(t * TI, TI), :]
+            cnt_t = cnt_ref[s, pl.ds(t * TI, TI), :]
 
-        # single pass: gradients
-        def jbody(j, du_acc):
-            z, h1, o = _jtile_forward(a_ref, valid_ref, u_t, W2, b2, j,
-                                      TI=TI, TJ=TJ, K=K, bf16=bf16)
-            eq = (o == pool_t[:, None, :]).astype(jnp.float32)
-            v_j = valid_ref[0, pl.ds(j * TJ, TJ), :]         # [TJ, 1]
-            # where-mask VJP (valid j only) and the outer relu
-            dq = gd[:, None, :] * eq * v_j[None, :, :] * (o > 0)
-            dq2 = dq.reshape(TI * TJ, _LANES)
-            h1_2 = h1.reshape(TI * TJ, K)
-            dh1 = _dot_nt(dq2, W2, bf16)                     # [TI·TJ, K]
-            dz = dh1.reshape(TI, TJ, K) * (z > 0)
-            da_ref[0, pl.ds(j * TJ, TJ), :] += jnp.sum(dz, axis=0)
-            dW2_ref[:] += _dot_tn(h1_2, dq2, bf16)
-            db2_ref[0] += jnp.sum(dq2, axis=0)
-            return du_acc - jnp.sum(dz, axis=1)
+            # tie counts were accumulated by the forward (saved residual);
+            # the reduce-max VJP splits the cotangent evenly among ties,
+            # like jnp.max autodiff
+            gd = dpool_t / jnp.maximum(cnt_t, 1.0)           # [TI, Bp]
 
-        du_ref[0] = jax.lax.fori_loop(
-            0, njt, jbody, jnp.zeros((TI, K), jnp.float32))
+            # single pass: gradients
+            def jbody(j, du_acc):
+                z, h1, o = _jtile_forward(a_ref, valid_ref, u_t, W2, b2, j,
+                                          s=s, TI=TI, TJ=TJ, K=K, bf16=bf16)
+                eq = (o == pool_t[:, None, :]).astype(jnp.float32)
+                v_j = valid_ref[s, pl.ds(j * TJ, TJ), :]     # [TJ, 1]
+                # where-mask VJP (valid j only) and the outer relu
+                dq = gd[:, None, :] * eq * v_j[None, :, :] * (o > 0)
+                dq2 = dq.reshape(TI * TJ, _LANES)
+                h1_2 = h1.reshape(TI * TJ, K)
+                dh1 = _dot_nt(dq2, W2, bf16)                 # [TI·TJ, K]
+                dz = dh1.reshape(TI, TJ, K) * (z > 0)
+                da_ref[s, pl.ds(j * TJ, TJ), :] += jnp.sum(dz, axis=0)
+                dW2_ref[:] += _dot_tn(h1_2, dq2, bf16)
+                db2_ref[0] += jnp.sum(dq2, axis=0)
+                return du_acc - jnp.sum(dz, axis=1)
+
+            du = jax.lax.fori_loop(
+                0, njt, jbody, jnp.zeros((TI, K), jnp.float32))
+            du_ref[s, pl.ds(t * TI, TI), :] = du
+            return 0
+
+        jax.lax.fori_loop(0, nit, ibody, 0)
 
 
 def _pad_args(a, u, W2, b2, valid):
@@ -202,52 +221,55 @@ def _pad_args(a, u, W2, b2, valid):
     B = W2.shape[1]
     TI = _tile_rows(N)
     Np = round_up(max(N, TI), TI)
-    padN = lambda x: jnp.pad(x, ((0, 0), (0, Np - N), (0, 0)))
-    ap, up = padN(a), padN(u)
-    # [S, Np, 1]: N on the SUBLANE axis — the kernel j-loop slices valid at
+    SB = _scene_block(Np)
+    Sp = round_up(S, SB)
+    padSN = lambda x: jnp.pad(x, ((0, Sp - S), (0, Np - N), (0, 0)))
+    ap, up = padSN(a), padSN(u)
+    # [Sp, Np, 1]: N on the SUBLANE axis — the kernel j-loop slices valid at
     # dynamic offsets, which Mosaic only supports on non-lane dims
     vf = valid.astype(jnp.float32)
-    vp = jnp.pad(vf, ((0, 0), (0, Np - N)))[:, :, None]
+    vp = jnp.pad(vf, ((0, Sp - S), (0, Np - N)))[:, :, None]
     # per-scene extent: last valid j + 1 (exact for ANY mask pattern —
-    # interior invalid j are still masked elementwise in the kernel)
+    # interior invalid j are still masked elementwise in the kernel);
+    # padded scenes get extent 0 and are skipped entirely
     n = jnp.max(jnp.arange(1, N + 1, dtype=jnp.int32)[None, :]
                 * vf.astype(jnp.int32), axis=1)              # [S]
+    n = jnp.pad(n, (0, Sp - S))
     W2p = jnp.pad(W2, ((0, 0), (0, _LANES - B)))
     b2p = jnp.pad(b2, (0, _LANES - B)).reshape(1, _LANES)
-    return ap, up, W2p, b2p, vp, n, S, Np, K, B
+    return ap, up, W2p, b2p, vp, n, Sp, Np, K, B
 
 
-def _specs(S, Np, K):
+def _specs(Sp, Np, K):
     TI = _tile_rows(Np)
-    nt = Np // TI
-    a_spec = pl.BlockSpec((1, Np, K), lambda s, t, n: (s, 0, 0),
+    SB = _scene_block(Np)
+    a_spec = pl.BlockSpec((SB, Np, K), lambda g, n: (g, 0, 0),
                           memory_space=pltpu.VMEM)
-    u_spec = pl.BlockSpec((1, TI, K), lambda s, t, n: (s, t, 0),
-                          memory_space=pltpu.VMEM)
-    W2_spec = pl.BlockSpec((K, _LANES), lambda s, t, n: (0, 0),
+    W2_spec = pl.BlockSpec((K, _LANES), lambda g, n: (0, 0),
                            memory_space=pltpu.VMEM)
-    b2_spec = pl.BlockSpec((1, _LANES), lambda s, t, n: (0, 0),
+    b2_spec = pl.BlockSpec((1, _LANES), lambda g, n: (0, 0),
                            memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((1, Np, 1), lambda s, t, n: (s, 0, 0),
+    v_spec = pl.BlockSpec((SB, Np, 1), lambda g, n: (g, 0, 0),
                           memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((1, TI, _LANES), lambda s, t, n: (s, t, 0),
+    o_spec = pl.BlockSpec((SB, Np, _LANES), lambda g, n: (g, 0, 0),
                           memory_space=pltpu.VMEM)
-    return TI, (S, nt), a_spec, u_spec, W2_spec, b2_spec, v_spec, o_spec
+    return TI, SB, (Sp // SB,), a_spec, W2_spec, b2_spec, v_spec, o_spec
 
 
 def _core_fwd(a, u, W2, b2, valid):
-    ap, up, W2p, b2p, vp, n, S, Np, K, B = _pad_args(a, u, W2, b2, valid)
-    TI, grid, a_s, u_s, W2_s, b2_s, v_s, o_s = _specs(S, Np, K)
+    ap, up, W2p, b2p, vp, n, Sp, Np, K, B = _pad_args(a, u, W2, b2, valid)
+    TI, SB, grid, a_s, W2_s, b2_s, v_s, o_s = _specs(Sp, Np, K)
     pooled, cnt = pl.pallas_call(
-        functools.partial(_fwd_kernel, TI=TI, TJ=TI, K=K, bf16=_use_bf16()),
+        functools.partial(_fwd_kernel, SB=SB, TI=TI, TJ=TI, K=K,
+                          bf16=_use_bf16()),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
-            in_specs=[a_s, u_s, W2_s, b2_s, v_s],
+            in_specs=[a_s, a_s, W2_s, b2_s, v_s],
             out_specs=(o_s, o_s)),
-        out_shape=(jax.ShapeDtypeStruct((S, Np, _LANES), jnp.float32),
-                   jax.ShapeDtypeStruct((S, Np, _LANES), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((Sp, Np, _LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((Sp, Np, _LANES), jnp.float32)),
     )(n, ap, up, W2p, b2p, vp)
-    return pooled[:, :a.shape[1], :B], pooled, cnt
+    return pooled[:a.shape[0], :a.shape[1], :B], pooled, cnt
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -268,32 +290,29 @@ def _vjp_fwd(a, u, W2, b2, valid):
 
 def _vjp_bwd(res, dpool):
     a, u, W2, b2, valid, pooled_padded, cnt = res
-    ap, up, W2p, b2p, vp, n, S, Np, K, B = _pad_args(a, u, W2, b2, valid)
-    N = a.shape[1]
-    dpool_p = jnp.pad(dpool, ((0, 0), (0, Np - N), (0, _LANES - B)))
-    TI, grid, a_s, u_s, W2_s, b2_s, v_s, o_s = _specs(S, Np, K)
-    da_s = pl.BlockSpec((1, Np, K), lambda s, t, n: (s, 0, 0),
-                        memory_space=pltpu.VMEM)
-    du_s = pl.BlockSpec((1, TI, K), lambda s, t, n: (s, t, 0),
-                        memory_space=pltpu.VMEM)
-    dW2_s = pl.BlockSpec((K, _LANES), lambda s, t, n: (0, 0),
+    ap, up, W2p, b2p, vp, n, Sp, Np, K, B = _pad_args(a, u, W2, b2, valid)
+    S, N = a.shape[:2]
+    dpool_p = jnp.pad(dpool, ((0, Sp - S), (0, Np - N), (0, _LANES - B)))
+    TI, SB, grid, a_s, W2_s, b2_s, v_s, o_s = _specs(Sp, Np, K)
+    dW2_s = pl.BlockSpec((K, _LANES), lambda g, n: (0, 0),
                          memory_space=pltpu.VMEM)
-    db2_s = pl.BlockSpec((1, _LANES), lambda s, t, n: (0, 0),
+    db2_s = pl.BlockSpec((1, _LANES), lambda g, n: (0, 0),
                          memory_space=pltpu.VMEM)
     da, du, dW2p, db2p = pl.pallas_call(
-        functools.partial(_bwd_kernel, TI=TI, TJ=TI, K=K, bf16=_use_bf16()),
+        functools.partial(_bwd_kernel, SB=SB, TI=TI, TJ=TI, K=K,
+                          bf16=_use_bf16()),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
-            in_specs=[a_s, u_s, W2_s, b2_s, v_s, o_s, o_s, o_s],
-            out_specs=(da_s, du_s, dW2_s, db2_s)),
+            in_specs=[a_s, a_s, W2_s, b2_s, v_s, o_s, o_s, o_s],
+            out_specs=(a_s, a_s, dW2_s, db2_s)),
         out_shape=(
-            jax.ShapeDtypeStruct((S, Np, K), jnp.float32),
-            jax.ShapeDtypeStruct((S, Np, K), jnp.float32),
+            jax.ShapeDtypeStruct((Sp, Np, K), jnp.float32),
+            jax.ShapeDtypeStruct((Sp, Np, K), jnp.float32),
             jax.ShapeDtypeStruct((K, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((1, _LANES), jnp.float32),
         ),
     )(n, ap, up, W2p, b2p, vp, pooled_padded, cnt, dpool_p)
-    return (da[:, :N, :], du[:, :N, :], dW2p[:, :B], db2p[0, :B], None)
+    return (da[:S, :N, :], du[:S, :N, :], dW2p[:, :B], db2p[0, :B], None)
 
 
 pool_core_pallas.defvjp(_vjp_fwd, _vjp_bwd)

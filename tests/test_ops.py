@@ -335,3 +335,59 @@ class TestRecurrenceCustomVJP:
         for a, bb in zip(g_want, g_got):
             np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
                                        rtol=1e-4, atol=1e-6)
+
+    def test_encoder_recurrence_grads_match_autodiff(self):
+        """The folded whole-encoder recurrence (embedding composed into the
+        input gates, all weight grads accumulated in-carry, no gx/dzs slab)
+        must match plain autodiff through embed -> lstm_scan."""
+        from grouptraj.ops.lstm import encoder_recurrence, lstm_gates
+        T, B, H = 8, 12, 16
+        ks = jax.random.split(jax.random.PRNGKey(2), 5)
+        w_e = jax.random.normal(ks[0], (2, 6)) * 0.5
+        b_e = jax.random.normal(ks[1], (6,)) * 0.1
+        lstm = {
+            "w_ih": jax.random.normal(ks[2], (6, 4 * H)) * 0.3,
+            "w_hh": jax.random.normal(ks[3], (H, 4 * H)) * 0.3,
+            "b_ih": jnp.zeros((4 * H,)) + 0.05,
+            "b_hh": jnp.zeros((4 * H,)) - 0.02,
+        }
+        xs = jax.random.normal(ks[4], (T, B, 2))
+
+        def naive(w_e, b_e, lstm, xs):
+            emb = xs @ w_e + b_e
+            gx = emb @ lstm["w_ih"] + lstm["b_ih"] + lstm["b_hh"]
+
+            def step(carry, g):
+                h, c = carry
+                h, c = lstm_gates(g + h @ lstm["w_hh"], c, H)
+                return (h, c), None
+
+            (hT, cT), _ = jax.lax.scan(
+                step, (jnp.zeros((B, H)), jnp.zeros((B, H))), gx)
+            return hT, cT
+
+        def folded(w_e, b_e, lstm, xs):
+            w_comp = w_e @ lstm["w_ih"]
+            b_comp = b_e @ lstm["w_ih"] + lstm["b_ih"] + lstm["b_hh"]
+            return encoder_recurrence(w_comp, b_comp, lstm["w_hh"], xs)
+
+        def loss(fn):
+            def f(w_e, b_e, lstm, xs):
+                hT, cT = fn(w_e, b_e, lstm, xs)
+                return jnp.sum(hT ** 2) + jnp.sum(jnp.sin(cT))
+            return f
+
+        hT_w, cT_w = naive(w_e, b_e, lstm, xs)
+        hT_g, cT_g = folded(w_e, b_e, lstm, xs)
+        np.testing.assert_allclose(np.asarray(hT_g), np.asarray(hT_w),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cT_g), np.asarray(cT_w),
+                                   rtol=1e-5, atol=1e-6)
+        g_want = jax.grad(loss(naive), argnums=(0, 1, 2, 3))(
+            w_e, b_e, lstm, xs)
+        g_got = jax.grad(loss(folded), argnums=(0, 1, 2, 3))(
+            w_e, b_e, lstm, xs)
+        for a, bb in zip(jax.tree_util.tree_leaves(g_want),
+                         jax.tree_util.tree_leaves(g_got)):
+            np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                       rtol=1e-4, atol=1e-6)
