@@ -66,6 +66,18 @@ def _tile_rows(N: int) -> int:
     return 8 if N <= 16 else 16
 
 
+def _tile_cols(Np: int, TI: int) -> int:
+    """j-tile edge: the widest multiple of TI that divides Np, capped at 32.
+    Wider j-tiles mean fewer sequential fori iterations and fatter MXU
+    contractions per tile ([TI·TJ, K] @ [K, 128]); the cap keeps the
+    [TI, TJ, K] z/h1/dz temporaries (~3 MB f32 at 16×32×512) inside the
+    VMEM scratch budget next to the double-buffered blocks."""
+    tj = TI
+    while tj * 2 <= min(Np, 32) and Np % (tj * 2) == 0:
+        tj *= 2
+    return tj
+
+
 def _scene_block(Np: int) -> int:
     """Scenes per grid step. Round-3 microbenchmark (tools/pool_bench.py):
     with one (scene, i-tile) pair per grid step the kernel was grid-step
@@ -260,8 +272,8 @@ def _core_fwd(a, u, W2, b2, valid):
     ap, up, W2p, b2p, vp, n, Sp, Np, K, B = _pad_args(a, u, W2, b2, valid)
     TI, SB, grid, a_s, W2_s, b2_s, v_s, o_s = _specs(Sp, Np, K)
     pooled, cnt = pl.pallas_call(
-        functools.partial(_fwd_kernel, SB=SB, TI=TI, TJ=TI, K=K,
-                          bf16=_use_bf16()),
+        functools.partial(_fwd_kernel, SB=SB, TI=TI, TJ=_tile_cols(Np, TI),
+                          K=K, bf16=_use_bf16()),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
             in_specs=[a_s, a_s, W2_s, b2_s, v_s],
@@ -299,8 +311,8 @@ def _vjp_bwd(res, dpool):
     db2_s = pl.BlockSpec((1, _LANES), lambda g, n: (0, 0),
                          memory_space=pltpu.VMEM)
     da, du, dW2p, db2p = pl.pallas_call(
-        functools.partial(_bwd_kernel, SB=SB, TI=TI, TJ=TI, K=K,
-                          bf16=_use_bf16()),
+        functools.partial(_bwd_kernel, SB=SB, TI=TI, TJ=_tile_cols(Np, TI),
+                          K=K, bf16=_use_bf16()),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
             in_specs=[a_s, a_s, W2_s, b2_s, v_s, o_s, o_s, o_s],
