@@ -161,6 +161,16 @@ class TrainConfig:
     # ema <- d*ema + (1-d)*g and checkpoints add a 'g_ema_state' entry
     # (evaluate_model --use_ema evaluates it).
     g_ema_decay: float = 0.0
+    # grouptraj extension (perf, semantics-preserving): the variety loss's
+    # min-over-k propagates gradient through the argmin sample only, so the
+    # g-step decodes all k WITHOUT a backward graph, then differentiably
+    # re-decodes just (argmin sample, last sample) — a 2-scene-row decode
+    # instead of a k-row one in the backward. Gradients equal the dense
+    # formulation except on exact per-scene l2 ties (measure zero; XLA's
+    # min-VJP splits ties, this picks argmin). Auto-falls-back to the dense
+    # path when the equivalence conditions don't hold (dropout on,
+    # per-step re-pooling, best_k == 1, or no variety loss).
+    sparse_best_k: bool = True
 
     output_dir: str = "."
     print_every: int = 100

@@ -125,10 +125,35 @@ def variety_l2_loss(pred_rel_k: jnp.ndarray, gt_rel: jnp.ndarray,
     - loss_mask: [S, N, T] (zero at padded peds/steps)
     - valid: [S, N] pedestrian validity
     """
+    per_scene, denom = variety_l2_parts(pred_rel_k, gt_rel, loss_mask,
+                                        valid, l2_loss_weight)
+    return variety_from_scene_l2(jnp.min(per_scene, axis=0), denom)
+
+
+def variety_l2_parts(pred_rel_k: jnp.ndarray, gt_rel: jnp.ndarray,
+                     loss_mask: jnp.ndarray, valid: jnp.ndarray,
+                     l2_loss_weight: float = 1.0):
+    """Per-(sample, scene) raw l2 sums and the per-scene normalizer —
+    the pieces of :func:`variety_l2_loss` before the min-over-k, exposed so
+    the sparse best-of-k backward (grouptraj/train/steps.py) can take the
+    argmin itself and re-derive the loss from one re-decoded sample."""
     raw = l2_loss_weight * l2_loss(
         pred_rel_k, gt_rel[None], loss_mask[None], mode="raw")   # [K, S, N]
     per_scene = jnp.sum(raw * valid[None], axis=-1)              # [K, S]
-    best = jnp.min(per_scene, axis=0)                            # [S]
     denom = jnp.sum(loss_mask, axis=(-2, -1))                    # [S]
+    return per_scene, denom
+
+
+def variety_scene_l2(pred_rel: jnp.ndarray, gt_rel: jnp.ndarray,
+                     loss_mask: jnp.ndarray, valid: jnp.ndarray,
+                     l2_loss_weight: float = 1.0) -> jnp.ndarray:
+    """Per-scene raw l2 sums for ONE sample [S, N, T, 2] -> [S]."""
+    raw = l2_loss_weight * l2_loss(pred_rel, gt_rel, loss_mask, mode="raw")
+    return jnp.sum(raw * valid, axis=-1)
+
+
+def variety_from_scene_l2(best: jnp.ndarray, denom: jnp.ndarray) -> jnp.ndarray:
+    """Final variety reduction given per-scene best l2 [S] and the scene
+    loss-mask sums [S] (empty scenes contribute exactly zero)."""
     scene_valid = denom > 0
     return jnp.sum(jnp.where(scene_valid, best / jnp.maximum(denom, 1.0), 0.0))

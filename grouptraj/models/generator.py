@@ -291,6 +291,28 @@ def generator_sample_many(
     return pred.reshape(K, S, N, cfg.pred_len, 2)
 
 
+def sample_noises(cfg: ModelConfig, keys: jax.Array, S: int, N: int,
+                  dtype) -> Optional[jnp.ndarray]:
+    """The noise tensors all K best-of-k samples would draw -> [K, S, N, nd]
+    (None when noise_dim is 0). Bit-identical to the draws inside
+    :func:`generator_sample` / :func:`generator_sample_many` (same key
+    split layout), so a caller can decode any sample later by passing the
+    gathered row as ``user_noise`` — the seam the sparse best-of-k backward
+    uses (train/steps.py)."""
+    nd = cfg.noise_first_dim
+    if not nd:
+        return None
+
+    def draw(key):
+        k_noise = jax.random.split(key, 4)[0]
+        if cfg.noise_mix_type == "global":
+            z = get_noise(k_noise, (S, nd), cfg.noise_type, dtype)
+            return jnp.broadcast_to(z[:, None, :], (S, N, nd))
+        return get_noise(k_noise, (S, N, nd), cfg.noise_type, dtype)
+
+    return jax.vmap(draw)(keys)
+
+
 def generator_forward(
     params: dict,
     cfg: ModelConfig,

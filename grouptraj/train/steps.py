@@ -30,7 +30,8 @@ from grouptraj.models import (
     init_generator,
 )
 from grouptraj.models.generator import (
-    generator_context, generator_sample_many,
+    generator_context, generator_sample, generator_sample_many,
+    sample_noises,
 )
 from grouptraj.utils import relative_to_abs
 
@@ -163,9 +164,51 @@ def build_g_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
         # noise concat is identical across the k samples: compute the
         # context once and vmap only the noise+decode phase.
         share_ctx = cfg.dropout == 0 and cfg.dropout1 == 0
+        # Sparse best-of-k backward (TrainConfig.sparse_best_k): the variety
+        # min only propagates gradient through the per-scene ARGMIN sample
+        # (and the adversarial term through the last sample), so decode all
+        # k with stop_gradient'd inputs — no backward graph, no residuals —
+        # then differentiably re-decode just those two samples as a stacked
+        # [2S, N] batch. Scenes are independent rows in the decoder
+        # (generator_sample_many's tested tiling property), so the re-decode
+        # reproduces the selected samples bitwise and the loss VALUE is
+        # unchanged; gradients equal the dense formulation everywhere except
+        # exact per-scene l2 ties (measure zero; jnp.min's VJP splits ties,
+        # argmin picks one). The backward's decoder work drops from k·S·N
+        # rows to 2·S·N — the profiled #1 g-step cost at best_k=20
+        # (tools/profile_step.py; ARCHITECTURE.md round-3 continuation).
+        sparse = (share_ctx and tcfg.sparse_best_k
+                  and tcfg.l2_loss_weight > 0 and best_k > 1
+                  and not cfg.pool_every_timestep)
 
         def loss_fn(g_params):
-            if share_ctx:
+            if sparse:
+                sg = jax.lax.stop_gradient
+                ctx = generator_context(
+                    g_params, cfg, b["obs"], b["obs_rel"], b["group"],
+                    b["valid"], sample_keys[0], impl=impl)
+                preds_all = generator_sample_many(
+                    sg(g_params), cfg, sg(ctx), b["obs"], b["obs_rel"],
+                    b["group"], b["valid"], sample_keys, impl=impl)
+                per_scene, denom = L.variety_l2_parts(
+                    preds_all, b["pred_rel"], pred_loss_mask, b["valid"],
+                    tcfg.l2_loss_weight)
+                k_star = jnp.argmin(per_scene, axis=0)            # [S]
+                S, N = b["valid"].shape
+                z_all = sample_noises(cfg, sample_keys, S, N, ctx.dtype)
+                cat2 = lambda a: jnp.concatenate([a, a], axis=0)
+                z2 = None if z_all is None else jnp.concatenate(
+                    [z_all[k_star, jnp.arange(S)], z_all[-1]], axis=0)
+                preds2 = generator_sample(
+                    g_params, cfg, cat2(ctx), cat2(b["obs"]),
+                    cat2(b["obs_rel"]), cat2(b["group"]), cat2(b["valid"]),
+                    sample_keys[0], user_noise=z2, impl=impl)
+                pred_sel, pred_last = preds2[:S], preds2[S:]
+                variety = L.variety_from_scene_l2(
+                    L.variety_scene_l2(pred_sel, b["pred_rel"],
+                                       pred_loss_mask, b["valid"],
+                                       tcfg.l2_loss_weight), denom)
+            elif share_ctx:
                 ctx = generator_context(
                     g_params, cfg, b["obs"], b["obs_rel"], b["group"],
                     b["valid"], sample_keys[0], impl=impl)
@@ -179,10 +222,12 @@ def build_g_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
                 preds = jax.vmap(lambda k: generator_forward(
                     g_params, cfg, b["obs"], b["obs_rel"], b["group"],
                     b["valid"], k, impl=impl))(sample_keys)  # [K,S,N,Tp,2]
-            variety = L.variety_l2_loss(
-                preds, b["pred_rel"], pred_loss_mask, b["valid"],
-                tcfg.l2_loss_weight) if tcfg.l2_loss_weight > 0 else 0.0
-            _, _, tf, tfr = _trajs(b, preds[-1])
+            if not sparse:
+                variety = L.variety_l2_loss(
+                    preds, b["pred_rel"], pred_loss_mask, b["valid"],
+                    tcfg.l2_loss_weight) if tcfg.l2_loss_weight > 0 else 0.0
+                pred_last = preds[-1]
+            _, _, tf, tfr = _trajs(b, pred_last)
             scores_fake = discriminator_forward(
                 state.d_params, cfg, tf, tfr, b["valid"], k_disc, impl=impl)
             adv = L.gan_g_loss(scores_fake, k_label, b["valid"])

@@ -98,6 +98,9 @@ def build_parser(gcn_variant: bool = False) -> argparse.ArgumentParser:
     # grouptraj extension: generator weight EMA (0 = off, reference
     # semantics; see TrainConfig.g_ema_decay)
     p.add_argument("--g_ema_decay", default=0.0, type=float)
+    # grouptraj extension: sparse best-of-k backward (1 = on; gradients
+    # equal the dense path except on exact ties — TrainConfig.sparse_best_k)
+    p.add_argument("--sparse_best_k", default=1, type=int)
     # Output
     p.add_argument("--output_dir", default=os.getcwd())
     p.add_argument("--print_every", default=100, type=int)
@@ -189,6 +192,7 @@ def configs_from_args(args, gcn_variant: bool = False):
         clipping_threshold_d=args.clipping_threshold_d,
         l2_loss_weight=args.l2_loss_weight, best_k=args.best_k,
         g_ema_decay=args.g_ema_decay,
+        sparse_best_k=bool(args.sparse_best_k),
         output_dir=args.output_dir, print_every=args.print_every,
         checkpoint_every=args.checkpoint_every,
         checkpoint_name=args.checkpoint_name,

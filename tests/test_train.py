@@ -47,6 +47,33 @@ def test_d_step_updates_discriminator_only(state, batch):
     assert _tree_diff(new_state.g_params, state.g_params) == 0
 
 
+def test_sparse_best_k_matches_dense(state):
+    """The sparse best-of-k backward (decode all k without a grad graph,
+    differentiably re-decode only the argmin + last samples) must produce
+    the same losses and the same generator update as the dense path —
+    grad(min) = grad at the argmin, and the re-decode reproduces the
+    selected samples bitwise (scene-row independence)."""
+    batch = synthetic_batch(6, 8, seed=3)
+    tcfg = dataclasses.replace(TCFG, best_k=5)
+    key = jax.random.PRNGKey(7)
+    sparse_step = make_g_step(CFG, tcfg)
+    dense_step = make_g_step(
+        CFG, dataclasses.replace(tcfg, sparse_best_k=False))
+    st_s, l_s = sparse_step(state, batch, key)
+    st_d, l_d = dense_step(state, batch, key)
+    # same loss VALUES (the re-decoded argmin sample equals the min sample)
+    np.testing.assert_allclose(float(l_s["G_l2_loss_rel"]),
+                               float(l_d["G_l2_loss_rel"]), rtol=1e-5)
+    np.testing.assert_allclose(float(l_s["G_discriminator_loss"]),
+                               float(l_d["G_discriminator_loss"]), rtol=1e-5)
+    # same update (tolerance: backward runs over differently-shaped
+    # batches, so accumulation order differs)
+    for a, b in zip(jax.tree_util.tree_leaves(st_s.g_params),
+                    jax.tree_util.tree_leaves(st_d.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_g_step_updates_generator_only(state, batch):
     g_step = make_g_step(CFG, TCFG)
     new_state, losses = g_step(state, batch, jax.random.PRNGKey(2))
