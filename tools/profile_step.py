@@ -11,6 +11,7 @@ Usage::
 
     python tools/profile_step.py [--chunk 10] [--bucket 2] [--batch 64]
     python tools/profile_step.py --leg d|g      # profile one leg only
+    python tools/profile_step.py --impl fused   # A/B an LSTM implementation
 """
 
 from __future__ import annotations
@@ -54,14 +55,14 @@ def build_dispatch(args):
 
     if args.leg == "full":
         from grouptraj.train.steps import make_train_chunk
-        run = make_train_chunk(cfg, tcfg, "scan", args.chunk)
+        run = make_train_chunk(cfg, tcfg, args.impl, args.chunk)
         n_draw = tcfg.d_steps + tcfg.g_steps
     else:
         # single-leg chunk: scan the chosen raw step over the dispatch
         from grouptraj.train.device_data import gather_batch
         from grouptraj.train.steps import build_d_step, build_g_step
         raw = (build_d_step if args.leg == "d" else build_g_step)(
-            cfg, tcfg, "scan")
+            cfg, tcfg, args.impl)
 
         def chunk_fn(state, data, idx, key):
             keys = jax.random.split(key, args.chunk)
@@ -135,6 +136,8 @@ def main():
     ap.add_argument("--d_steps", type=int, default=1)
     ap.add_argument("--g_steps", type=int, default=1)
     ap.add_argument("--leg", choices=["full", "d", "g"], default="full")
+    ap.add_argument("--impl", choices=["scan", "pallas", "fused"],
+                    default="scan", help="LSTM implementation to profile")
     ap.add_argument("--top", type=int, default=35)
     args = ap.parse_args()
 
