@@ -97,9 +97,9 @@ class ModelConfig:
     # reference-shaped [S, N, N, 512] path, 'fast' = the decomposed XLA
     # form, 'pallas' = the fused VMEM kernel (ops/pallas_pool.py), 'auto' =
     # pallas on TPU / fast on CPU, deferring to $GROUPTRAJ_POOL_IMPL.
-    # Execution detail only — all four compute the same function (tested).
-    # NOTE the pallas kernel does not compose with jax.vmap (the multi-seed
-    # trainer forces 'fast' for its replicated axis).
+    # Execution detail only — all four compute the same function (tested),
+    # and the pallas kernel composes with jax.vmap (replica-aware grid +
+    # custom_vmap rules; the multi-seed trainer rides it directly).
     pool_impl: str = "auto"
 
     def __post_init__(self):

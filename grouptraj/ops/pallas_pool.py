@@ -44,6 +44,22 @@ accumulation), so weight grads match to f32 tolerance, not bit-exactly
 precision follows the session default: bf16 MXU passes with f32
 accumulate (exactly what the XLA paths do), full f32 when
 ``jax_default_matmul_precision`` asks for it.
+
+**vmap composition (replica axis).** ``pallas_call`` auto-batching emits
+illegal Mosaic blocks, so a bare kernel breaks under ``jax.vmap`` — which
+is exactly how the multi-seed trainer (train/multi.py) runs every op. The
+kernel is therefore replica-aware natively: args carry a leading R axis
+([R,S,N,K] a/u, [R,K,B] W2), the scene grid is the flattened R·Sp axis
+(per-replica padding keeps scene-blocks inside one replica), and the
+weight blocks are indexed ``grid_step // blocks_per_replica`` so each
+replica's W2 stays VMEM-resident across its blocks and its dW2/db2
+accumulator block flushes exactly once. ``jax.custom_batching.custom_vmap``
+rules on the fwd/bwd entries route a vmapped call into that replica axis
+(the documented composition: custom_vjp outside, custom_vmap inside —
+the vjp rules are never themselves differentiated). The un-vmapped call
+is the R=1 case of the same kernel. Measured: the 8-seed vmapped
+training chunk was 17.8 ms/seed-iter on the XLA fallback at the widest
+zara1 bucket vs 4.32 ms single-seed (this kernel).
 """
 
 from __future__ import annotations
@@ -51,6 +67,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.custom_batching
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -134,7 +151,10 @@ def _jtile_forward(a_ref, valid_ref, u_t, W2, b2, j, *, s, TI, TJ, K, bf16):
 def _fwd_kernel(n_ref, a_ref, u_ref, W2_ref, b2_ref, valid_ref, out_ref,
                 cnt_ref, *, SB, TI, TJ, K, bf16):
     sb0 = pl.program_id(0) * SB
-    W2, b2 = W2_ref[:], b2_ref[0]
+    # weights arrive as ONE replica's (1, K/1, LANES) block — the specs
+    # index them by grid_step // blocks_per_replica (replica axis; R=1 for
+    # the plain un-vmapped call)
+    W2, b2 = W2_ref[0], b2_ref[0, 0]
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
     cnt_ref[...] = jnp.zeros(cnt_ref.shape, cnt_ref.dtype)
 
@@ -176,16 +196,18 @@ def _fwd_kernel(n_ref, a_ref, u_ref, W2_ref, b2_ref, valid_ref, out_ref,
 
 def _bwd_kernel(n_ref, a_ref, u_ref, W2_ref, b2_ref, valid_ref, pool_ref,
                 cnt_ref, dpool_ref, da_ref, du_ref, dW2_ref, db2_ref,
-                *, SB, TI, TJ, K, bf16):
+                *, SB, TI, TJ, K, GB, bf16):
     sb0 = pl.program_id(0) * SB
-    W2, b2 = W2_ref[:], b2_ref[0]
+    W2, b2 = W2_ref[0], b2_ref[0, 0]
     da_ref[...] = jnp.zeros(da_ref.shape, da_ref.dtype)
     du_ref[...] = jnp.zeros(du_ref.shape, du_ref.dtype)
 
-    @pl.when(pl.program_id(0) == 0)
+    # dW2/db2 accumulate across each replica's GB consecutive grid steps
+    # (the weight-block index map flips every GB steps, flushing the block)
+    @pl.when(pl.program_id(0) % GB == 0)
     def _():
-        dW2_ref[:] = jnp.zeros_like(dW2_ref[:])
-        db2_ref[:] = jnp.zeros_like(db2_ref[:])
+        dW2_ref[...] = jnp.zeros_like(dW2_ref[...])
+        db2_ref[...] = jnp.zeros_like(db2_ref[...])
 
     for s in range(SB):                                     # unrolled
         ni = n_ref[sb0 + s]
@@ -216,8 +238,8 @@ def _bwd_kernel(n_ref, a_ref, u_ref, W2_ref, b2_ref, valid_ref, pool_ref,
                 dh1 = _dot_nt(dq2, W2, bf16)                 # [TI·TJ, K]
                 dz = dh1.reshape(TI, TJ, K) * (z > 0)
                 da_ref[s, pl.ds(j * TJ, TJ), :] += jnp.sum(dz, axis=0)
-                dW2_ref[:] += _dot_tn(h1_2, dq2, bf16)
-                db2_ref[0] += jnp.sum(dq2, axis=0)
+                dW2_ref[0] += _dot_tn(h1_2, dq2, bf16)
+                db2_ref[0, 0] += jnp.sum(dq2, axis=0)
                 return du_acc - jnp.sum(dz, axis=1)
 
             du = jax.lax.fori_loop(
@@ -229,48 +251,66 @@ def _bwd_kernel(n_ref, a_ref, u_ref, W2_ref, b2_ref, valid_ref, pool_ref,
 
 
 def _pad_args(a, u, W2, b2, valid):
-    S, N, K = a.shape
-    B = W2.shape[1]
+    """Pad replica-stacked args to kernel layout.
+
+    - a/u   [R, S, N, K] -> [R·Sp, Np, K]  (per-replica scene padding, so
+      scene-blocks never straddle a replica boundary: Sp % SB == 0)
+    - valid [R, S, N]    -> [R·Sp, Np, 1]  (N on the SUBLANE axis — the
+      kernel j-loop slices valid at dynamic offsets, which Mosaic only
+      supports on non-lane dims)
+    - W2    [R, K, B]    -> [R, K, LANES];  b2 [R, B] -> [R, 1, LANES]
+    - n     [R·Sp] per-scene extents: last valid j + 1 (exact for ANY mask
+      pattern — interior invalid j are still masked elementwise in the
+      kernel); padded scenes get extent 0 and are skipped entirely.
+
+    The plain (un-vmapped) call is the R = 1 case.
+    """
+    R, S, N, K = a.shape
+    B = W2.shape[-1]
     TI = _tile_rows(N)
     Np = round_up(max(N, TI), TI)
     SB = _scene_block(Np)
     Sp = round_up(S, SB)
-    padSN = lambda x: jnp.pad(x, ((0, Sp - S), (0, Np - N), (0, 0)))
+    padSN = lambda x: jnp.pad(
+        x, ((0, 0), (0, Sp - S), (0, Np - N), (0, 0))).reshape(
+            R * Sp, Np, x.shape[-1])
     ap, up = padSN(a), padSN(u)
-    # [Sp, Np, 1]: N on the SUBLANE axis — the kernel j-loop slices valid at
-    # dynamic offsets, which Mosaic only supports on non-lane dims
     vf = valid.astype(jnp.float32)
-    vp = jnp.pad(vf, ((0, Sp - S), (0, Np - N)))[:, :, None]
-    # per-scene extent: last valid j + 1 (exact for ANY mask pattern —
-    # interior invalid j are still masked elementwise in the kernel);
-    # padded scenes get extent 0 and are skipped entirely
-    n = jnp.max(jnp.arange(1, N + 1, dtype=jnp.int32)[None, :]
-                * vf.astype(jnp.int32), axis=1)              # [S]
-    n = jnp.pad(n, (0, Sp - S))
-    W2p = jnp.pad(W2, ((0, 0), (0, _LANES - B)))
-    b2p = jnp.pad(b2, (0, _LANES - B)).reshape(1, _LANES)
-    return ap, up, W2p, b2p, vp, n, Sp, Np, K, B
+    vp = padSN(vf[..., None])
+    n = jnp.max(jnp.arange(1, N + 1, dtype=jnp.int32)[None, None, :]
+                * vf.astype(jnp.int32), axis=2)              # [R, S]
+    n = jnp.pad(n, ((0, 0), (0, Sp - S))).reshape(R * Sp)
+    W2p = jnp.pad(W2, ((0, 0), (0, 0), (0, _LANES - B)))
+    b2p = jnp.pad(b2, ((0, 0), (0, _LANES - B))).reshape(R, 1, _LANES)
+    return ap, up, W2p, b2p, vp, n, R, Sp, Np, K, B
 
 
-def _specs(Sp, Np, K):
+def _specs(R, Sp, Np, K):
     TI = _tile_rows(Np)
     SB = _scene_block(Np)
+    GB = Sp // SB                        # grid steps per replica
     a_spec = pl.BlockSpec((SB, Np, K), lambda g, n: (g, 0, 0),
                           memory_space=pltpu.VMEM)
-    W2_spec = pl.BlockSpec((K, _LANES), lambda g, n: (0, 0),
+    # weight blocks are indexed by REPLICA: the index map advances every GB
+    # grid steps, so one replica's weights stay VMEM-resident across all of
+    # its scene-blocks (and its dW2/db2 output block flushes exactly once)
+    W2_spec = pl.BlockSpec((1, K, _LANES), lambda g, n: (g // GB, 0, 0),
                            memory_space=pltpu.VMEM)
-    b2_spec = pl.BlockSpec((1, _LANES), lambda g, n: (0, 0),
+    b2_spec = pl.BlockSpec((1, 1, _LANES), lambda g, n: (g // GB, 0, 0),
                            memory_space=pltpu.VMEM)
     v_spec = pl.BlockSpec((SB, Np, 1), lambda g, n: (g, 0, 0),
                           memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec((SB, Np, _LANES), lambda g, n: (g, 0, 0),
                           memory_space=pltpu.VMEM)
-    return TI, SB, (Sp // SB,), a_spec, W2_spec, b2_spec, v_spec, o_spec
+    return TI, SB, GB, (R * GB,), a_spec, W2_spec, b2_spec, v_spec, o_spec
 
 
 def _core_fwd(a, u, W2, b2, valid):
-    ap, up, W2p, b2p, vp, n, Sp, Np, K, B = _pad_args(a, u, W2, b2, valid)
-    TI, SB, grid, a_s, W2_s, b2_s, v_s, o_s = _specs(Sp, Np, K)
+    """Replica-stacked forward: [R,S,N,·] in, ([R,S,N,B] out, padded
+    pooled/cnt residuals [R, Sp, Np, LANES])."""
+    R, S, N = a.shape[:3]
+    ap, up, W2p, b2p, vp, n, R, Sp, Np, K, B = _pad_args(a, u, W2, b2, valid)
+    TI, SB, GB, grid, a_s, W2_s, b2_s, v_s, o_s = _specs(R, Sp, Np, K)
     pooled, cnt = pl.pallas_call(
         functools.partial(_fwd_kernel, SB=SB, TI=TI, TJ=_tile_cols(Np, TI),
                           K=K, bf16=_use_bf16()),
@@ -278,10 +318,83 @@ def _core_fwd(a, u, W2, b2, valid):
             num_scalar_prefetch=1, grid=grid,
             in_specs=[a_s, a_s, W2_s, b2_s, v_s],
             out_specs=(o_s, o_s)),
-        out_shape=(jax.ShapeDtypeStruct((Sp, Np, _LANES), jnp.float32),
-                   jax.ShapeDtypeStruct((Sp, Np, _LANES), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((R * Sp, Np, _LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((R * Sp, Np, _LANES), jnp.float32)),
     )(n, ap, up, W2p, b2p, vp)
-    return pooled[:a.shape[0], :a.shape[1], :B], pooled, cnt
+    pooled = pooled.reshape(R, Sp, Np, _LANES)
+    cnt = cnt.reshape(R, Sp, Np, _LANES)
+    return pooled[:, :S, :N, :B], pooled, cnt
+
+
+def _core_bwd(a, u, W2, b2, valid, pooled_padded, cnt, dpool):
+    """Replica-stacked backward; residuals come padded from _core_fwd."""
+    R, S, N = a.shape[:3]
+    ap, up, W2p, b2p, vp, n, R, Sp, Np, K, B = _pad_args(a, u, W2, b2, valid)
+    dpool_p = jnp.pad(dpool, ((0, 0), (0, Sp - S), (0, Np - N),
+                              (0, _LANES - B))).reshape(R * Sp, Np, _LANES)
+    TI, SB, GB, grid, a_s, W2_s, b2_s, v_s, o_s = _specs(R, Sp, Np, K)
+    dW2_s = pl.BlockSpec((1, K, _LANES), lambda g, n: (g // GB, 0, 0),
+                         memory_space=pltpu.VMEM)
+    db2_s = pl.BlockSpec((1, 1, _LANES), lambda g, n: (g // GB, 0, 0),
+                         memory_space=pltpu.VMEM)
+    da, du, dW2p, db2p = pl.pallas_call(
+        functools.partial(_bwd_kernel, SB=SB, TI=TI, TJ=_tile_cols(Np, TI),
+                          K=K, GB=GB, bf16=_use_bf16()),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[a_s, a_s, W2_s, b2_s, v_s, o_s, o_s, o_s],
+            out_specs=(a_s, a_s, dW2_s, db2_s)),
+        out_shape=(
+            jax.ShapeDtypeStruct((R * Sp, Np, K), jnp.float32),
+            jax.ShapeDtypeStruct((R * Sp, Np, K), jnp.float32),
+            jax.ShapeDtypeStruct((R, K, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1, _LANES), jnp.float32),
+        ),
+    )(n, ap, up, W2p, b2p, vp,
+      pooled_padded.reshape(R * Sp, Np, _LANES),
+      cnt.reshape(R * Sp, Np, _LANES), dpool_p)
+    da = da.reshape(R, Sp, Np, K)[:, :S, :N, :]
+    du = du.reshape(R, Sp, Np, K)[:, :S, :N, :]
+    return da, du, dW2p[:, :, :B], db2p[:, 0, :B]
+
+
+def _bc(x, batched, R):
+    """Broadcast an un-batched arg to the replica axis (custom_vmap rules
+    receive batched args with the axis moved to dim 0)."""
+    return x if batched else jnp.broadcast_to(x[None], (R,) + x.shape)
+
+
+@jax.custom_batching.custom_vmap
+def _core_fwd_cv(a, u, W2, b2, valid):
+    out, pooled, cnt = _core_fwd(a[None], u[None], W2[None], b2[None],
+                                 valid[None])
+    return out[0], pooled[0], cnt[0]
+
+
+@_core_fwd_cv.def_vmap
+def _core_fwd_vmap(axis_size, in_batched, a, u, W2, b2, valid):
+    ab, ub, wb, bb, vb = in_batched
+    out, pooled, cnt = _core_fwd(
+        _bc(a, ab, axis_size), _bc(u, ub, axis_size),
+        _bc(W2, wb, axis_size), _bc(b2, bb, axis_size),
+        _bc(valid, vb, axis_size))
+    return (out, pooled, cnt), (True, True, True)
+
+
+@jax.custom_batching.custom_vmap
+def _core_bwd_cv(a, u, W2, b2, valid, pooled_padded, cnt, dpool):
+    r = _core_bwd(a[None], u[None], W2[None], b2[None], valid[None],
+                  pooled_padded[None], cnt[None], dpool[None])
+    return tuple(x[0] for x in r)
+
+
+@_core_bwd_cv.def_vmap
+def _core_bwd_vmap(axis_size, in_batched, a, u, W2, b2, valid,
+                   pooled_padded, cnt, dpool):
+    args = [_bc(x, b, axis_size) for x, b in
+            zip((a, u, W2, b2, valid, pooled_padded, cnt, dpool),
+                in_batched)]
+    return _core_bwd(*args), (True, True, True, True)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -290,41 +403,28 @@ def pool_core_pallas(a, u, W2, b2, valid):
     [S,N,B] pooled. Invalid-i rows are UNDEFINED (zero only when their
     whole i-tile is skipped; inside an active tile they carry the
     unmasked max) — callers must re-mask with valid, as pool_hidden_net
-    does."""
-    out, _, _ = _core_fwd(a, u, W2, b2, valid)
+    does.
+
+    Composes with ``jax.vmap`` (e.g. the multi-seed trainer's replica
+    axis): ``custom_vmap`` rules on the fwd/bwd kernel entries fold the
+    batch axis into the kernel's scene grid and give every replica its
+    own VMEM-resident weight block, instead of falling back to the XLA
+    pair tensor (the [S,N,N,512] HBM slab this kernel exists to avoid).
+    """
+    out, _, _ = _core_fwd_cv(a, u, W2, b2, valid)
     return out
 
 
 def _vjp_fwd(a, u, W2, b2, valid):
-    out, pooled_padded, cnt = _core_fwd(a, u, W2, b2, valid)
+    out, pooled_padded, cnt = _core_fwd_cv(a, u, W2, b2, valid)
     return out, (a, u, W2, b2, valid, pooled_padded, cnt)
 
 
 def _vjp_bwd(res, dpool):
     a, u, W2, b2, valid, pooled_padded, cnt = res
-    ap, up, W2p, b2p, vp, n, Sp, Np, K, B = _pad_args(a, u, W2, b2, valid)
-    S, N = a.shape[:2]
-    dpool_p = jnp.pad(dpool, ((0, Sp - S), (0, Np - N), (0, _LANES - B)))
-    TI, SB, grid, a_s, W2_s, b2_s, v_s, o_s = _specs(Sp, Np, K)
-    dW2_s = pl.BlockSpec((K, _LANES), lambda g, n: (0, 0),
-                         memory_space=pltpu.VMEM)
-    db2_s = pl.BlockSpec((1, _LANES), lambda g, n: (0, 0),
-                         memory_space=pltpu.VMEM)
-    da, du, dW2p, db2p = pl.pallas_call(
-        functools.partial(_bwd_kernel, SB=SB, TI=TI, TJ=_tile_cols(Np, TI),
-                          K=K, bf16=_use_bf16()),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=grid,
-            in_specs=[a_s, a_s, W2_s, b2_s, v_s, o_s, o_s, o_s],
-            out_specs=(a_s, a_s, dW2_s, db2_s)),
-        out_shape=(
-            jax.ShapeDtypeStruct((Sp, Np, K), jnp.float32),
-            jax.ShapeDtypeStruct((Sp, Np, K), jnp.float32),
-            jax.ShapeDtypeStruct((K, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((1, _LANES), jnp.float32),
-        ),
-    )(n, ap, up, W2p, b2p, vp, pooled_padded, cnt, dpool_p)
-    return (da[:S, :N, :], du[:S, :N, :], dW2p[:, :B], db2p[0, :B], None)
+    da, du, dW2, db2 = _core_bwd_cv(a, u, W2, b2, valid, pooled_padded,
+                                    cnt, dpool)
+    return (da, du, dW2, db2, None)
 
 
 pool_core_pallas.defvjp(_vjp_fwd, _vjp_bwd)

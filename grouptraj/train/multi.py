@@ -81,12 +81,12 @@ def train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
         # which no reference config reaches)
         logger.info("train_many: lstm_impl %s -> scan (vmap-safe)", impl)
         impl = "scan"
-    if cfg.pool_impl in ("auto", "pallas"):
-        # the fused Pallas pool kernel does not compose with the seed-axis
-        # vmap (pallas_call auto-batching emits illegal Mosaic blocks);
-        # the decomposed XLA path is the vmap-safe equivalent
-        import dataclasses
-        cfg = dataclasses.replace(cfg, pool_impl="fast")
+    # the fused Pallas pool kernel composes with the seed-axis vmap
+    # natively (ops/pallas_pool.py custom_vmap rules fold the replica axis
+    # into the kernel's scene grid with per-replica VMEM weight blocks) —
+    # the old pool_impl='fast' fallback here cost 4x per seed-iteration at
+    # the widest bucket (the [S,N,N,512] HBM pair slab, per-op profile in
+    # the kernel docstring)
     n_seeds = len(seeds)
     train_dset, train_loader, val_loader = build_loaders(cfg, tcfg)
 

@@ -173,3 +173,60 @@ def test_fast_path_respects_quirk_gates():
     ev_pair = pool_hidden_net(p2, h, pos, valid, dropout=0.5, train=False,
                               impl="pair")
     assert np.allclose(np.asarray(ev), np.asarray(ev_pair), atol=1e-4)
+
+
+def _rep_data(R, S=3, N=13, K=64, B=8, seed=4):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+    a = jax.random.normal(ks[0], (R, S, N, K))
+    u = jax.random.normal(ks[1], (R, S, N, K))
+    W2 = jax.random.normal(ks[2], (R, K, B)) / np.sqrt(K)
+    b2 = jax.random.normal(ks[3], (R, B))
+    valid = (jax.random.uniform(ks[4], (S, N)) > 0.3).astype(jnp.float32)
+    valid = valid.at[0].set(1.0).at[1].set(0.0).at[1, 0].set(1.0)
+    return a, u, W2, b2, valid
+
+
+def test_vmap_forward_matches_vmapped_xla_core():
+    """The multi-seed trainer's exact pattern: params batched on a replica
+    axis, data (valid) broadcast — the custom_vmap rule must fold the
+    replica axis into the kernel grid, not fall over in Mosaic batching."""
+    R = 3
+    a, u, W2, b2, valid = _rep_data(R)
+    out = jax.vmap(PP.pool_core_pallas,
+                   in_axes=(0, 0, 0, 0, None))(a, u, W2, b2, valid)
+    ref = jax.vmap(pool_core,
+                   in_axes=(0, 0, 0, 0, None))(a, u, W2, b2, valid)
+    m = np.broadcast_to(np.asarray(valid)[None, :, :, None] > 0, out.shape)
+    assert np.allclose(np.asarray(out)[m], np.asarray(ref)[m], atol=1e-5)
+
+
+def test_vmap_batched_valid_matches():
+    """All-args-batched variant (per-replica masks)."""
+    R = 2
+    a, u, W2, b2, valid = _rep_data(R, seed=5)
+    validR = jnp.stack([valid, jnp.roll(valid, 1, axis=1)])
+    out = jax.vmap(PP.pool_core_pallas)(a, u, W2, b2, validR)
+    ref = jax.vmap(pool_core)(a, u, W2, b2, validR)
+    m = np.asarray(validR)[..., None].repeat(out.shape[-1], -1) > 0
+    assert np.allclose(np.asarray(out)[m], np.asarray(ref)[m], atol=1e-5)
+
+
+def test_vmap_gradients_match_vmapped_xla_core():
+    """Replica-axis grads: per-replica dW2/db2 accumulator blocks must
+    flush exactly once per replica (grid-indexed weight blocks)."""
+    R = 3
+    a, u, W2, b2, valid = _rep_data(R, seed=6)
+
+    def loss(core):
+        def f(a, u, W2, b2):
+            p = core(a, u, W2, b2, valid)
+            p = jnp.where(valid[..., None] > 0, p, 0.0)
+            return jnp.sum(jnp.sin(p * 0.3) * 1.7)
+        return f
+
+    gP = jax.vmap(jax.grad(loss(PP.pool_core_pallas),
+                           argnums=(0, 1, 2, 3)))(a, u, W2, b2)
+    gX = jax.vmap(jax.grad(loss(pool_core),
+                           argnums=(0, 1, 2, 3)))(a, u, W2, b2)
+    for p_, x_ in zip(gP, gX):
+        assert np.allclose(np.asarray(p_), np.asarray(x_), atol=2e-4)
