@@ -83,9 +83,9 @@ def bench_grouptraj(iters: int = 200, batch_size: int = 64,
               if sched is None else None)
     key = jax.random.PRNGKey(0)
     if n_seeds > 1:
-        # seed-axis vmap can't batch the Pallas pool kernel — use the
-        # decomposed XLA pool like train_many does
-        cfg = dataclasses.replace(cfg, pool_impl="fast")
+        # the Pallas pool kernel batches natively under the seed-axis vmap
+        # (replica-aware grid + custom_vmap rules, ops/pallas_pool.py) —
+        # exactly what train_many runs
         run = jax.jit(jax.vmap(build_train_chunk(cfg, tcfg, impl, chunk),
                                in_axes=(0, None, None, 0)))
         init_keys = jnp.stack([jax.random.PRNGKey(s)
