@@ -208,11 +208,12 @@ class TrainConfig:
     # every batch's scene axis; GSPMD inserts the gradient all-reduce
     # (psum over ICI on a TPU slice). batch_size must divide evenly.
     num_devices: int = 1
-    # LSTM implementation: 'auto' picks by measured crossover (see the
-    # Pallas micro-bench table in ARCHITECTURE.md: on v5e the fused Pallas
-    # BPTT kernel wins fwd+bwd at H >= 64 — up to 2.2x at B=4096, H=128 —
-    # while XLA's lax.scan wins at the reference's H = 32/48), 'scan' /
-    # 'pallas' force one. use_pallas=True is a legacy alias for 'pallas'.
+    # LSTM implementation: 'auto' = scan. The Pallas kernels win the
+    # isolated-recurrence microbenchmark at H >= 64 (ARCHITECTURE.md) but
+    # measure slower in the END-TO-END step at every tested size
+    # (tools/scale_bench.py, tools/profile_step.py --impl), so they are
+    # explicit opt-ins: 'pallas' (per-timestep grid) / 'fused'
+    # (whole-loop). use_pallas=True is a legacy alias for 'pallas'.
     lstm_impl: str = "auto"
     use_pallas: bool = False
 

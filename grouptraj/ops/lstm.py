@@ -48,22 +48,26 @@ def select_impl(cfg, tcfg) -> str:
       whole time loop in one kernel launch, weights + carry + slabs
       VMEM-resident, used for BOTH the encoders and the folded decoder.
 
-    'auto' applies the measured v5e rule (tools/depth_bench.py, table in
-    ARCHITECTURE.md): lax.scan at the reference sizes (H ≤ 48) — after the
-    round-3 depth reductions the scan path's remaining per-step work is one
-    matmul and XLA wins at tiny H — and 'pallas' at H ≥ 64 where the
-    streaming per-timestep kernel's measured fwd+bwd win holds. Non-TPU
-    backends always use scan (the kernels are Mosaic-only).
+    'auto' resolves to 'scan' on every backend. The per-timestep kernel
+    wins the ISOLATED recurrence microbenchmark fwd+bwd at H ≥ 64 (up to
+    2.2× at B=4096/H=128, tools/depth_bench.py, table in ARCHITECTURE.md)
+    and an earlier auto rule picked it there — but the END-TO-END training
+    step measures slower at every tested size, reference through
+    H=128/N=128 (tools/scale_bench.py: 98.4 vs 123.9 it/s at H=64, 55.9
+    vs 59.4 at H=128; tools/profile_step.py --impl at flagship sizes:
+    6.54 vs 4.32 ms/iter), and its backward VMEM-OOMs at
+    H=128/N=128/B=256. In context the scan path's per-step matmuls fuse
+    with neighbors and the kernel's launch/slab overheads never pay off.
+    The kernels remain explicit opt-ins (`--lstm_impl pallas|fused`),
+    tested numerically equal; non-TPU backends always use scan (they are
+    Mosaic-only).
     """
     impl = getattr(tcfg, "lstm_impl", "auto")
     if getattr(tcfg, "use_pallas", False):
         impl = "pallas"
     if impl in ("scan", "pallas", "fused"):
         return impl if jax.default_backend() == "tpu" else "scan"
-    if jax.default_backend() != "tpu":
-        return "scan"
-    h = max(cfg.encoder_h_dim_g, cfg.encoder_h_dim_d, cfg.decoder_h_dim_g)
-    return "pallas" if h >= 64 else "scan"
+    return "scan"
 
 
 def init_lstm(key: jax.Array, d_in: int, d_hidden: int,

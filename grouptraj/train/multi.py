@@ -77,8 +77,8 @@ def train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
         # same reason as the pool guard below: Mosaic pallas_calls
         # (ops/pallas_lstm.py, ops/pallas_fused.py) are not validated under
         # the seed-axis vmap's auto-batching — the scan path is the
-        # vmap-safe numerical twin ('auto' only picks pallas at H>=64,
-        # which no reference config reaches)
+        # vmap-safe numerical twin ('auto' already resolves to scan —
+        # this guard only fires for an explicit --lstm_impl pallas|fused)
         logger.info("train_many: lstm_impl %s -> scan (vmap-safe)", impl)
         impl = "scan"
     # the fused Pallas pool kernel composes with the seed-axis vmap

@@ -139,8 +139,8 @@ def build_parser(gcn_variant: bool = False) -> argparse.ArgumentParser:
                    choices=["auto", "scan", "pallas", "fused"],
                    help="LSTM implementation (scan = XLA, pallas = "
                         "per-timestep-grid kernel, fused = whole-loop "
-                        "single-launch kernel); auto picks by the measured "
-                        "size crossover (ARCHITECTURE.md)")
+                        "single-launch kernel); auto = scan, the measured "
+                        "end-to-end winner at every size (ARCHITECTURE.md)")
     p.add_argument("--pool_impl", default="auto",
                    choices=["auto", "pair", "fast", "pallas"],
                    help="PoolHiddenNet implementation (pair = reference-"

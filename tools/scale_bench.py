@@ -1,0 +1,132 @@
+"""Scale study: training throughput beyond the reference's problem sizes.
+
+The reference pins tiny dims (encoder 32/48, decoder 32, embeddings 16,
+N <= ~64 pedestrians — hardcoded at ``sgan/models.py:242-244,473``); the
+grouptraj config generalizes every one of them, and the TPU ceiling
+analysis (ARCHITECTURE.md round-3 closing audit) shows the flagship step
+is sequential/VPU-bound at those sizes, i.e. the chip is mostly idle.
+This tool measures how throughput holds up as the model and scene sizes
+grow toward production scale — where the MXU finally has work to do and
+the Pallas LSTM crossover (H >= 64, ARCHITECTURE.md "measured size
+crossover") starts paying on the full step, not just the microbenchmark.
+
+Method: synthetic device-resident dataset (`synthetic_device_data`) at
+uniform scene width N, one bucket, the production fused-chunk dispatch
+(`make_train_chunk`, 50 iterations per dispatch), end-to-end wall clock
+with host-readback sync (the only valid sync through the axon tunnel —
+CLAUDE.md). Reports the median of reps per configuration; at H >= 64 both
+LSTM impls are timed so the auto rule's pick is visible in context.
+
+Run on an OTHERWISE IDLE TPU (wall-clock timing under queue contention is
+invalid): python tools/scale_bench.py [--reps 3] [--chunk 50] [--markdown]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts._common import setup_jax_cache  # noqa: E402
+
+setup_jax_cache()
+
+# (label, enc_h_g, dec_h_g, enc_h_d, emb, noise, N, batch)
+GRID = [
+    ("reference",        32,  32,  48,  16,  8, 64,  64),
+    ("H=64",             64,  64,  64,  16,  8, 64,  64),
+    ("H=128",           128, 128, 128,  32, 16, 64,  64),
+    ("N=128",            32,  32,  48,  16,  8, 128, 64),
+    ("H=128 N=128",     128, 128, 128,  32, 16, 128, 64),
+    ("batch=256",        32,  32,  48,  16,  8, 64,  256),
+    ("H=128 N=128 B=256", 128, 128, 128, 32, 16, 128, 256),
+]
+
+
+def bench_config(label, hg, dg, hd, emb, noise, N, batch, impl,
+                 reps, chunk):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from grouptraj.config import ModelConfig, TrainConfig
+    from grouptraj.ops.lstm import select_impl
+    from grouptraj.parallel.data_parallel import synthetic_device_data
+    from grouptraj.train.steps import init_train_state, make_train_chunk
+
+    cfg = ModelConfig(encoder_h_dim_g=hg, decoder_h_dim_g=dg,
+                      encoder_h_dim_d=hd, embedding_dim=emb,
+                      noise_dim=(noise,))
+    tcfg = TrainConfig(dataset_name="synthetic", batch_size=batch,
+                       steps_per_dispatch=chunk)
+    resolved = select_impl(cfg, tcfg) if impl == "auto" else impl
+    num_seq = max(4 * batch, 512)
+    data = synthetic_device_data(num_seq, N, cfg.obs_len, cfg.pred_len)
+    run = make_train_chunk(cfg, tcfg, resolved, chunk)
+    spi = tcfg.d_steps + tcfg.g_steps
+    rng = np.random.default_rng(0)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    key = jax.random.PRNGKey(1)
+    mk_idx = lambda: jnp.asarray(
+        rng.integers(0, num_seq, (chunk, spi, batch)), jnp.int32)
+
+    # compile + warm
+    state, losses = run(state, data, mk_idx(), key)
+    np.asarray(jax.tree_util.tree_leaves(losses)[0])
+
+    n_chunks = 4
+    seq = [mk_idx() for _ in range(n_chunks)]
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        for idx in seq:
+            state, losses = run(state, data, idx, key)
+        np.asarray(jax.tree_util.tree_leaves(losses)[0])   # hard sync
+        times.append(time.time() - t0)
+    its = n_chunks * chunk / sorted(times)[len(times) // 2]
+    return resolved, its
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--chunk", type=int, default=50)
+    ap.add_argument("--markdown", action="store_true",
+                    help="emit a MODEL_ZOO-style markdown table")
+    args = ap.parse_args()
+
+    rows = []
+    for (label, hg, dg, hd, emb, noise, N, batch) in GRID:
+        impls = ["scan"] if max(hg, dg, hd) < 64 else ["scan", "pallas"]
+        for impl in impls:
+            try:
+                resolved, its = bench_config(label, hg, dg, hd, emb, noise,
+                                             N, batch, impl, args.reps,
+                                             args.chunk)
+            except Exception as e:  # e.g. the per-timestep kernel's
+                # backward VMEM-OOMs at H=128/N=128/B=256 — record, move on
+                print(f"{label:<20} H={hg}/{hd:<4} N={N:<4} B={batch:<4} "
+                      f"impl={impl:<7} FAILED: "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+                continue
+            traj_s = its * batch * N
+            rows.append((label, hg, hd, N, batch, resolved, its, traj_s))
+            print(f"{label:<20} H={hg}/{hd:<4} N={N:<4} B={batch:<4} "
+                  f"impl={resolved:<7} {its:8.1f} it/s  "
+                  f"{traj_s/1e6:6.2f} M ped-steps/s", flush=True)
+
+    if args.markdown:
+        print("\n| config | H (g/d) | N | batch | LSTM impl | train it/s |"
+              " ped-rows/s |")
+        print("|---|---|---|---|---|---|---|")
+        for (label, hg, hd, N, batch, impl, its, traj_s) in rows:
+            print(f"| {label} | {hg}/{hd} | {N} | {batch} | {impl} |"
+                  f" {its:.1f} | {traj_s/1e6:.2f} M |")
+
+
+if __name__ == "__main__":
+    main()
