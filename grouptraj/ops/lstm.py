@@ -52,15 +52,15 @@ def select_impl(cfg, tcfg) -> str:
     wins the ISOLATED recurrence microbenchmark fwd+bwd at H ≥ 64 (up to
     2.2× at B=4096/H=128, tools/depth_bench.py, table in ARCHITECTURE.md)
     and an earlier auto rule picked it there — but the END-TO-END training
-    step measures slower at every tested size, reference through
-    H=128/N=128 (tools/scale_bench.py: 98.4 vs 123.9 it/s at H=64, 55.9
-    vs 59.4 at H=128; tools/profile_step.py --impl at flagship sizes:
-    6.54 vs 4.32 ms/iter), and its backward VMEM-OOMs at
-    H=128/N=128/B=256. In context the scan path's per-step matmuls fuse
-    with neighbors and the kernel's launch/slab overheads never pay off.
-    The kernels remain explicit opt-ins (`--lstm_impl pallas|fused`),
-    tested numerically equal; non-TPU backends always use scan (they are
-    Mosaic-only).
+    step measures slower at every size a reference-shaped workload
+    reaches (tools/scale_bench.py: 98.4 vs 123.9 it/s at H=64, 55.9 vs
+    59.4 at H=128/B=64; tools/profile_step.py --impl at flagship sizes:
+    6.54 vs 4.32 ms/iter). In context the scan path's per-step matmuls
+    fuse with neighbors and the kernel's launch/slab overheads only pay
+    off at an extreme corner (H=128/N=128/B=256, 655k-row decodes: 4.4
+    vs 3.9 it/s) — users there opt in explicitly. The kernels remain
+    tested-equal opt-ins (`--lstm_impl pallas|fused`); non-TPU backends
+    always use scan (they are Mosaic-only).
     """
     impl = getattr(tcfg, "lstm_impl", "auto")
     if getattr(tcfg, "use_pallas", False):

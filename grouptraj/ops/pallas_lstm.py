@@ -139,9 +139,15 @@ def _grid_setup(B, H=128):
     H=160, B=1024 gets 2x512 (zero waste) instead of 2x816 (1.6x compute
     and saved-gates inflation). The backward pass calls this same function
     so its grid always matches the forward's padding.
+
+    The 112/128 factor at H >= 128 leaves headroom for the BACKWARD's
+    extra scratch (dz + dW accumulators next to the recomputed gates): at
+    the full 128/128 cap the bwd kernel's scoped VMEM measured 16.19 MB
+    vs the 16 MB limit at H=128, B=65536 (tools/scale_bench.py OOM);
+    H <= 112 is unaffected.
     """
     Bp = round_up(max(B, 8), 8)
-    cap = min(_BLOCK_B, _BLOCK_B * 128 // max(H, 128), Bp)
+    cap = min(_BLOCK_B, _BLOCK_B * 112 // max(H, 112), Bp)
     cap = max(cap - cap % 8, 8)
     nb = -(-Bp // cap)
     block = round_up(-(-Bp // nb), 8)
