@@ -110,9 +110,19 @@ def _pool_fast(params: dict, h: jnp.ndarray, end_pos: jnp.ndarray,
     E = We.shape[1]
     u = end_pos @ (We @ W1[:E])                               # [S, N, 512]
     a = u + h @ W1[E:] + (be @ W1[:E] + b1)                   # [S, N, 512]
+    # 'auto' picks by per-call pair volume S·N² (tools/pool_bench.py, v5e
+    # fwd+bwd): below ~1e5 pairs XLA keeps the whole pair slab in
+    # registers/fused and wins 2-3x (N=8: 0.027 vs 0.049 ms at S=64; N=16:
+    # 0.076 vs 0.119), above it XLA goes HBM-bound on the [S,N,N,512] slab
+    # and the VMEM-tiled kernel wins (N=32/S=128: 0.447 vs 0.950; N=64/
+    # S=64: 0.618 vs 1.754). The S=64/128 x N=8..64 grid all lands on the
+    # 1e5 threshold. Under the multi-seed vmap the rule sees the
+    # UNBATCHED shape — also measured correct there (the XLA path batches
+    # linearly; the kernel's replica fold only pays at wide buckets).
+    S, N = a.shape[0], a.shape[1]
     use_pallas = impl == "pallas" or (
         impl == "auto" and jax.default_backend() != "cpu"
-        and a.shape[1] <= 128)
+        and N <= 128 and S * N * N >= 100_000)
     if use_pallas:
         from grouptraj.ops.pallas_pool import pool_core_pallas
         pooled = pool_core_pallas(a, u, W2, b2, valid)

@@ -79,7 +79,8 @@ def main():
     rng = np.random.default_rng(0)
 
     def make(S):
-        sizes = rng.integers(17, args.N + 1, S)
+        lo = min(17, max(args.N // 2, 1))
+        sizes = rng.integers(lo, args.N + 1, S)
         valid = (np.arange(args.N)[None, :] < sizes[:, None])
         a = jnp.asarray(rng.standard_normal((S, args.N, args.K)), jnp.float32)
         u = jnp.asarray(rng.standard_normal((S, args.N, args.K)), jnp.float32)
