@@ -95,6 +95,15 @@ def pool_hidden_net(params: dict, h: jnp.ndarray, end_pos: jnp.ndarray,
     return jnp.where(valid[..., None] > 0, pooled, 0.0)
 
 
+def _use_pallas_pool(impl: str, S: int, N: int) -> bool:
+    """The measured 'auto' rule (see the threshold comment in
+    :func:`_pool_fast`); pinned by tests/test_pallas_pool.py."""
+    if impl == "pallas":
+        return True
+    return (impl == "auto" and jax.default_backend() != "cpu"
+            and N <= 128 and S * N * N >= 100_000)
+
+
 def _pool_fast(params: dict, h: jnp.ndarray, end_pos: jnp.ndarray,
                valid: jnp.ndarray, impl: str) -> jnp.ndarray:
     """Decomposed PoolHiddenNet (module docstring, fix 1): per-ped
@@ -120,10 +129,7 @@ def _pool_fast(params: dict, h: jnp.ndarray, end_pos: jnp.ndarray,
     # UNBATCHED shape — also measured correct there (the XLA path batches
     # linearly; the kernel's replica fold only pays at wide buckets).
     S, N = a.shape[0], a.shape[1]
-    use_pallas = impl == "pallas" or (
-        impl == "auto" and jax.default_backend() != "cpu"
-        and N <= 128 and S * N * N >= 100_000)
-    if use_pallas:
+    if _use_pallas_pool(impl, S, N):
         from grouptraj.ops.pallas_pool import pool_core_pallas
         pooled = pool_core_pallas(a, u, W2, b2, valid)
     else:

@@ -230,3 +230,28 @@ def test_vmap_gradients_match_vmapped_xla_core():
                            argnums=(0, 1, 2, 3)))(a, u, W2, b2)
     for p_, x_ in zip(gP, gX):
         assert np.allclose(np.asarray(p_), np.asarray(x_), atol=2e-4)
+
+
+def test_auto_select_rule_decision_points():
+    """Pin the measured pair-volume auto-select rule
+    (ARCHITECTURE.md 'Pair-volume-aware pool impl selection'): kernel
+    at S*N*N >= 1e5 with N <= 128, XLA core below. Measured flips:
+    width-8/16 buckets stay XLA, N=32/S=128 flips to the kernel."""
+    from grouptraj.ops.pooling import _use_pallas_pool
+
+    on_cpu = jax.default_backend() == "cpu"
+    # explicit impls override everything
+    assert _use_pallas_pool("pallas", 1, 8) is True
+    assert _use_pallas_pool("xla", 4096, 64) is False
+    # narrow buckets (zara1 headline mix) stay on the XLA core
+    assert _use_pallas_pool("auto", 64, 8) is False    # 4.1e3 pairs
+    assert _use_pallas_pool("auto", 128, 16) is False  # 3.3e4 pairs
+    if not on_cpu:
+        # measured flip point and the wide production buckets
+        assert _use_pallas_pool("auto", 128, 32) is True   # 1.3e5
+        assert _use_pallas_pool("auto", 64, 64) is True    # 2.6e5
+        # the kernel's j-tile layout is only validated to N=128
+        assert _use_pallas_pool("auto", 64, 256) is False
+    else:
+        # interpret-mode kernel is never worth it on CPU
+        assert _use_pallas_pool("auto", 128, 64) is False

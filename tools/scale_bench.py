@@ -91,12 +91,58 @@ def bench_config(label, hg, dg, hd, emb, noise, N, batch, impl,
     return resolved, its
 
 
+def bench_serving_config(label, hg, dg, hd, emb, noise, N, batch, impl,
+                         reps, num_samples=20):
+    """Serving throughput at this config: the jitted best-of-k eval step
+    (the same entry `grouptraj.serve.Predictor` compiles) on the same
+    synthetic scenes the training column uses (~85% occupancy,
+    `synthetic_batch`), width N, `batch` scenes per call. Returns
+    predicted trajectories/s — every (pedestrian, sample) pair is one
+    predicted pred_len-step trajectory (bench.py `bench_serving`
+    methodology, median rep, host-readback sync)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from grouptraj.config import ModelConfig
+    from grouptraj.eval import make_eval_step
+    from grouptraj.models import init_generator
+    from grouptraj.parallel.data_parallel import synthetic_batch
+
+    cfg = ModelConfig(encoder_h_dim_g=hg, decoder_h_dim_g=dg,
+                      encoder_h_dim_d=hd, embedding_dim=emb,
+                      noise_dim=(noise,))
+    b = synthetic_batch(batch, N, cfg.obs_len, cfg.pred_len)
+    args = jax.device_put((jnp.asarray(b["obs"]), jnp.asarray(b["obs_rel"]),
+                           jnp.asarray(b["group"]), jnp.asarray(b["valid"]),
+                           jnp.asarray(b["pred"])))
+    params = init_generator(jax.random.PRNGKey(0), cfg)
+    step = make_eval_step(cfg, num_samples, impl)
+    key = jax.random.PRNGKey(1)
+    np.asarray(step(params, *args, key)[0])            # compile + sync
+    traj_per_call = float(np.asarray(b["valid"]).sum()) * num_samples
+
+    n_calls = 8
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = None
+        for _ in range(n_calls):
+            key, sub = jax.random.split(key)
+            out = step(params, *args, sub)
+        np.asarray(out[0])                             # hard sync
+        times.append(time.time() - t0)
+    return n_calls * traj_per_call / sorted(times)[len(times) // 2]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--chunk", type=int, default=50)
     ap.add_argument("--markdown", action="store_true",
                     help="emit a MODEL_ZOO-style markdown table")
+    ap.add_argument("--no-serving", action="store_true",
+                    help="skip the serving-throughput column")
     args = ap.parse_args()
 
     rows = []
@@ -113,19 +159,32 @@ def main():
                       f"impl={impl:<7} FAILED: "
                       f"{type(e).__name__}: {str(e)[:120]}", flush=True)
                 continue
+            serve_tps = None
+            if not args.no_serving:
+                try:
+                    serve_tps = bench_serving_config(
+                        label, hg, dg, hd, emb, noise, N, batch,
+                        resolved, args.reps)
+                except Exception as e:
+                    print(f"{label:<20} serving FAILED: "
+                          f"{type(e).__name__}: {str(e)[:120]}", flush=True)
             traj_s = its * batch * N
-            rows.append((label, hg, hd, N, batch, resolved, its, traj_s))
+            rows.append((label, hg, hd, N, batch, resolved, its, traj_s,
+                         serve_tps))
+            serve_txt = (f"  serve {serve_tps/1e6:5.2f} M traj/s"
+                         if serve_tps else "")
             print(f"{label:<20} H={hg}/{hd:<4} N={N:<4} B={batch:<4} "
                   f"impl={resolved:<7} {its:8.1f} it/s  "
-                  f"{traj_s/1e6:6.2f} M ped-steps/s", flush=True)
+                  f"{traj_s/1e6:6.2f} M ped-steps/s{serve_txt}", flush=True)
 
     if args.markdown:
         print("\n| config | H (g/d) | N | batch | LSTM impl | train it/s |"
-              " ped-rows/s |")
-        print("|---|---|---|---|---|---|---|")
-        for (label, hg, hd, N, batch, impl, its, traj_s) in rows:
+              " ped-rows/s | serve traj/s |")
+        print("|---|---|---|---|---|---|---|---|")
+        for (label, hg, hd, N, batch, impl, its, traj_s, stps) in rows:
+            s = f" {stps/1e6:.2f} M |" if stps else " — |"
             print(f"| {label} | {hg}/{hd} | {N} | {batch} | {impl} |"
-                  f" {its:.1f} | {traj_s/1e6:.2f} M |")
+                  f" {its:.1f} | {traj_s/1e6:.2f} M |{s}")
 
 
 if __name__ == "__main__":
