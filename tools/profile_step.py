@@ -57,6 +57,13 @@ def build_dispatch(args):
         from grouptraj.train.steps import make_train_chunk
         run = make_train_chunk(cfg, tcfg, args.impl, args.chunk)
         n_draw = tcfg.d_steps + tcfg.g_steps
+        if args.n_seeds > 1:
+            # the train_many composition (train/multi.py get_runner):
+            # replica axis on state + key, data/idx broadcast
+            from grouptraj.train.steps import build_train_chunk
+            run = jax.jit(jax.vmap(
+                build_train_chunk(cfg, tcfg, args.impl, args.chunk),
+                in_axes=(0, None, None, 0)))
     else:
         # single-leg chunk: scan the chosen raw step over the dispatch
         from grouptraj.train.device_data import gather_batch
@@ -81,6 +88,11 @@ def build_dispatch(args):
                                    (args.chunk, n_draw, args.batch)),
                       jnp.int32)
     key = jax.random.PRNGKey(0)
+    if args.leg == "full" and args.n_seeds > 1:
+        keys = jax.random.split(key, args.n_seeds)
+        state = jax.jit(jax.vmap(
+            lambda k: init_train_state(k, cfg, tcfg)))(keys)
+        return run, state, data, idx, keys
     state = init_train_state(key, cfg, tcfg)
     return run, state, data, idx, key
 
@@ -138,6 +150,9 @@ def main():
     ap.add_argument("--leg", choices=["full", "d", "g"], default="full")
     ap.add_argument("--impl", choices=["scan", "pallas", "fused"],
                     default="scan", help="LSTM implementation to profile")
+    ap.add_argument("--n_seeds", type=int, default=1,
+                    help="profile the train_many vmapped chunk with this "
+                         "many seed replicas (leg=full only)")
     ap.add_argument("--top", type=int, default=35)
     args = ap.parse_args()
 
@@ -154,8 +169,14 @@ def main():
         state2, losses = run(state, data, idx, key)
         np.asarray(jax.tree_util.tree_leaves(losses)[0])
     total_us = summarize(trace_dir, args.top)
-    print(f"\n-> {total_us/1e3/args.chunk:.3f} ms device time per iteration "
-          f"({args.chunk}-iter chunk, leg={args.leg})")
+    per_iter = total_us / 1e3 / args.chunk
+    tag = f"{args.chunk}-iter chunk, leg={args.leg}"
+    if args.n_seeds > 1:
+        print(f"\n-> {per_iter:.3f} ms device time per iteration = "
+              f"{per_iter/args.n_seeds:.3f} ms/seed-iter "
+              f"({tag}, n_seeds={args.n_seeds})")
+    else:
+        print(f"\n-> {per_iter:.3f} ms device time per iteration ({tag})")
 
 
 if __name__ == "__main__":
