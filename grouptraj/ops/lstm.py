@@ -265,10 +265,124 @@ def _enc_recurrence_bwd(res, cts):
     return dwc, db, dwh, dxs
 
 
+# Replica-batched encoder recurrence: same custom_vmap treatment as the
+# decoder below (see the block comment there) — under the multi-seed vmap
+# the per-step batched dots of the d-leg's stacked real+fake encoder were
+# the next superlinear group after the probe decode (~1.5-2 ms per 8-seed
+# iteration excess, tools/profile_step.py --n_seeds 8, round 3). The rules
+# unroll the replica axis inside the scan step so each replica runs the
+# unbatched program's fused dot+gates, with (h, c) residual emissions
+# DUS'd into [R, T, B, H] buffers (dead, hence DCE'd, in fwd-only sweeps).
+
+
+@jax.custom_batching.custom_vmap
+def _enc_fwd_cv(w_comp, b_comp, w_hh, xs):
+    return _enc_recurrence_fwd(w_comp, b_comp, w_hh, xs)
+
+
+@_enc_fwd_cv.def_vmap
+def _enc_fwd_rule(axis_size, in_batched, w_comp, b_comp, w_hh, xs):
+    R = axis_size
+    w_comp = _bc_rep(w_comp, in_batched[0], R)
+    b_comp = _bc_rep(b_comp, in_batched[1], R)
+    w_hh = _bc_rep(w_hh, in_batched[2], R)
+    xs = _bc_rep(xs, in_batched[3], R)
+    T, B = xs.shape[1], xs.shape[2]
+    H = w_hh.shape[1]
+    zeros = jnp.zeros((R, T, B, H), xs.dtype)
+    zbh = jnp.zeros((B, H), xs.dtype)
+
+    def step(carry, t):
+        hs, cs, hp_b, cp_b = carry
+        new_h, new_c = [], []
+        for r in range(R):
+            hp_b = jax.lax.dynamic_update_slice(
+                hp_b, hs[r][None, None], (r, t, 0, 0))
+            cp_b = jax.lax.dynamic_update_slice(
+                cp_b, cs[r][None, None], (r, t, 0, 0))
+            x = jax.lax.dynamic_slice(
+                xs, (r, t, 0, 0), (1, 1, B, xs.shape[3])).reshape(
+                    B, xs.shape[3])
+            h2, c2 = lstm_gates(
+                x @ w_comp[r] + b_comp[r] + hs[r] @ w_hh[r], cs[r], H)
+            new_h.append(h2)
+            new_c.append(c2)
+        return (tuple(new_h), tuple(new_c), hp_b, cp_b), None
+
+    init = (tuple(zbh for _ in range(R)), tuple(zbh for _ in range(R)),
+            zeros, zeros)
+    (hT, cT, hs_prev, cs_prev), _ = jax.lax.scan(
+        step, init, jnp.arange(T), unroll=scan_unroll())
+    out = ((jnp.stack(hT), jnp.stack(cT)),
+           (w_comp, b_comp, w_hh, xs, hs_prev, cs_prev))
+    return out, ((True, True), (True, True, True, True, True, True))
+
+
+@jax.custom_batching.custom_vmap
+def _enc_bwd_cv(w_comp, b_comp, w_hh, xs, hs_prev, cs_prev, dhT, dcT):
+    return _enc_recurrence_bwd(
+        (w_comp, b_comp, w_hh, xs, hs_prev, cs_prev), (dhT, dcT))
+
+
+@_enc_bwd_cv.def_vmap
+def _enc_bwd_rule(axis_size, in_batched, w_comp, b_comp, w_hh, xs, hs_prev,
+                  cs_prev, dhT, dcT):
+    R = axis_size
+    w_comp = _bc_rep(w_comp, in_batched[0], R)
+    b_comp = _bc_rep(b_comp, in_batched[1], R)
+    w_hh = _bc_rep(w_hh, in_batched[2], R)
+    xs = _bc_rep(xs, in_batched[3], R)
+    hs_prev = _bc_rep(hs_prev, in_batched[4], R)
+    cs_prev = _bc_rep(cs_prev, in_batched[5], R)
+    dhT = _bc_rep(dhT, in_batched[6], R)
+    dcT = _bc_rep(dcT, in_batched[7], R)
+    T, B, D = xs.shape[1], xs.shape[2], xs.shape[3]
+    H = w_hh.shape[1]
+
+    def read(buf, r, t, d):
+        return jax.lax.dynamic_slice(
+            buf, (r, t, 0, 0), (1, 1, B, d)).reshape(B, d)
+
+    def bstep(carry, t):
+        dhs, dcs, dwcs, dwhs, dbs, dxs_b = carry
+        ndh, ndc, ndwc, ndwh, ndb = [], [], [], [], []
+        for r in range(R):
+            x = read(xs, r, t, D)
+            h_prev = read(hs_prev, r, t, H)
+            c_prev = read(cs_prev, r, t, H)
+            z = x @ w_comp[r] + b_comp[r] + h_prev @ w_hh[r]
+            dz, dc_chain = _gate_bwd(z, c_prev, dhs[r], dcs[r], H)
+            ndh.append(jax.lax.dot_general(
+                dz, w_hh[r], (((1,), (1,)), ((), ()))))
+            ndc.append(dc_chain)
+            ndwh.append(dwhs[r] + jax.lax.dot_general(
+                h_prev, dz, (((0,), (0,)), ((), ()))))
+            ndwc.append(dwcs[r] + jax.lax.dot_general(
+                x, dz, (((0,), (0,)), ((), ()))))
+            ndb.append(dbs[r] + jnp.sum(dz, axis=0))
+            dx = jax.lax.dot_general(
+                dz, w_comp[r], (((1,), (1,)), ((), ())))
+            dxs_b = jax.lax.dynamic_update_slice(
+                dxs_b, dx[None, None], (r, t, 0, 0))
+        return (tuple(ndh), tuple(ndc), tuple(ndwc), tuple(ndwh),
+                tuple(ndb), dxs_b), None
+
+    init = (tuple(dhT[r] for r in range(R)), tuple(dcT[r] for r in range(R)),
+            tuple(jnp.zeros(w_comp.shape[1:], w_comp.dtype)
+                  for _ in range(R)),
+            tuple(jnp.zeros(w_hh.shape[1:], w_hh.dtype) for _ in range(R)),
+            tuple(jnp.zeros(b_comp.shape[1:], b_comp.dtype)
+                  for _ in range(R)),
+            jnp.zeros((R, T, B, D), xs.dtype))
+    (_, _, dwc, dwh, db, dxs), _ = jax.lax.scan(
+        bstep, init, jnp.arange(T), reverse=True, unroll=scan_unroll())
+    out = (jnp.stack(dwc), jnp.stack(db), jnp.stack(dwh), dxs)
+    return out, (True, True, True, True)
+
+
 encoder_recurrence.defvjp(
-    lambda w_comp, b_comp, w_hh, xs: _enc_recurrence_fwd(
-        w_comp, b_comp, w_hh, xs),
-    _enc_recurrence_bwd)
+    lambda w_comp, b_comp, w_hh, xs: _enc_fwd_cv(w_comp, b_comp, w_hh, xs),
+    lambda res, cts: _enc_bwd_cv(*res, *cts))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -325,9 +439,135 @@ def _dec_recurrence_bwd(T, res, dys):
     return dw, db, dh1, dc1
 
 
+# ---------------------------------------------------------------------------
+# Replica-batched decoder recurrence: custom_vmap rules on the VJP entries
+# ---------------------------------------------------------------------------
+#
+# Under the multi-seed trainer's seed-axis vmap (train/multi.py — the whole
+# train chunk vmapped over R replicas with per-replica weights), the decoder
+# scan's per-step dot becomes a batched [R, B, H] @ [R, H, 4H] dot_general.
+# XLA:TPU lowers that as a windowed convolution that MATERIALIZES the
+# [R, B, 4H] f32 gate slab in HBM with a transposed {1,2,0} layout and
+# re-reads it for the gate math — at the g-step's best-of-20 probe batch
+# (B = k·S·N = 81920, widest zara1 bucket) those two ops alone measured
+# 12.5 ms per 8-seed iteration, ~2× an entire single-seed step
+# (tools/profile_step.py --n_seeds 8 / tools/attr_ops.py: op_name
+# ``vmap()/…/jvp()/while/body`` at lstm.py decoder scan, round 3).
+#
+# The rules below restore the unbatched program's structure: the (small,
+# static) replica axis is unrolled INSIDE the scan body, so each step runs
+# R flat [B, H] @ [H, 4H] dots whose gate nonlinearities fuse into the
+# matmul output (gates never touch HBM), and the per-step emissions are
+# dynamic-update-sliced into [R, T, B, H] carry buffers so the batch axis
+# stays leading (custom_vmap's calling convention) without a post-scan
+# transpose. hs_prev is derived from ys by a shift-concat OUTSIDE the scan
+# (h_{t-1} = ys[t-1], h1 prepended) — in the no-grad probe decode both it
+# and the cs_prev buffer are dead and XLA's while-loop simplifier removes
+# them. Same composition as ops/pallas_pool.py: custom_vjp outside,
+# custom_vmap inside (the vjp rules are never themselves differentiated).
+
+
+def _bc_rep(x, batched, R):
+    """Broadcast an un-batched arg to the replica axis (custom_vmap rules
+    receive batched args with the axis moved to dim 0)."""
+    return x if batched else jnp.broadcast_to(x[None], (R,) + x.shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _dec_fwd_cv(T: int):
+    @jax.custom_batching.custom_vmap
+    def fwd(w_eff, b_eff, h1, c1):
+        return _dec_recurrence_fwd(w_eff, b_eff, h1, c1, T)
+
+    @fwd.def_vmap
+    def _fwd_rule(axis_size, in_batched, w_eff, b_eff, h1, c1):
+        R = axis_size
+        w_eff = _bc_rep(w_eff, in_batched[0], R)
+        b_eff = _bc_rep(b_eff, in_batched[1], R)
+        h1 = _bc_rep(h1, in_batched[2], R)
+        c1 = _bc_rep(c1, in_batched[3], R)
+        B, H = h1.shape[1], h1.shape[2]
+        zeros = jnp.zeros((R, T, B, H), h1.dtype)
+
+        def step(carry, t):
+            hs, cs, ys_b, cp_b = carry
+            new_h, new_c = [], []
+            for r in range(R):
+                cp_b = jax.lax.dynamic_update_slice(
+                    cp_b, cs[r][None, None], (r, t, 0, 0))
+                h2, c2 = lstm_gates(hs[r] @ w_eff[r] + b_eff[r], cs[r], H)
+                ys_b = jax.lax.dynamic_update_slice(
+                    ys_b, h2[None, None], (r, t, 0, 0))
+                new_h.append(h2)
+                new_c.append(c2)
+            return (tuple(new_h), tuple(new_c), ys_b, cp_b), None
+
+        init = (tuple(h1[r] for r in range(R)),
+                tuple(c1[r] for r in range(R)), zeros, zeros)
+        (_, _, ys, cs_prev), _ = jax.lax.scan(
+            step, init, jnp.arange(T), unroll=scan_unroll())
+        hs_prev = jnp.concatenate([h1[:, None], ys[:, :T - 1]], axis=1)
+        out = (ys, (w_eff, b_eff, hs_prev, cs_prev))
+        return out, (True, (True, True, True, True))
+
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _dec_bwd_cv(T: int):
+    @jax.custom_batching.custom_vmap
+    def bwd(w_eff, b_eff, hs_prev, cs_prev, dys):
+        return _dec_recurrence_bwd(T, (w_eff, b_eff, hs_prev, cs_prev), dys)
+
+    @bwd.def_vmap
+    def _bwd_rule(axis_size, in_batched, w_eff, b_eff, hs_prev, cs_prev,
+                  dys):
+        R = axis_size
+        w_eff = _bc_rep(w_eff, in_batched[0], R)
+        b_eff = _bc_rep(b_eff, in_batched[1], R)
+        hs_prev = _bc_rep(hs_prev, in_batched[2], R)
+        cs_prev = _bc_rep(cs_prev, in_batched[3], R)
+        dys = _bc_rep(dys, in_batched[4], R)
+        B, H = hs_prev.shape[2], hs_prev.shape[3]
+
+        def read(buf, r, t):
+            return jax.lax.dynamic_slice(
+                buf, (r, t, 0, 0), (1, 1, B, H)).reshape(B, H)
+
+        def bstep(carry, t):
+            dhs, dcs, dws, dbs = carry
+            ndh, ndc, ndw, ndb = [], [], [], []
+            for r in range(R):
+                h_prev = read(hs_prev, r, t)
+                c_prev = read(cs_prev, r, t)
+                dy = read(dys, r, t)
+                z = h_prev @ w_eff[r] + b_eff[r]
+                dz, dc_chain = _gate_bwd(z, c_prev, dhs[r] + dy, dcs[r], H)
+                ndh.append(jax.lax.dot_general(
+                    dz, w_eff[r], (((1,), (1,)), ((), ()))))
+                ndc.append(dc_chain)
+                ndw.append(dws[r] + jax.lax.dot_general(
+                    h_prev, dz, (((0,), (0,)), ((), ()))))
+                ndb.append(dbs[r] + jnp.sum(dz, axis=0))
+            return (tuple(ndh), tuple(ndc), tuple(ndw), tuple(ndb)), None
+
+        zbh = jnp.zeros((B, H), hs_prev.dtype)
+        init = (tuple(zbh for _ in range(R)), tuple(zbh for _ in range(R)),
+                tuple(jnp.zeros(w_eff.shape[1:], w_eff.dtype)
+                      for _ in range(R)),
+                tuple(jnp.zeros(b_eff.shape[1:], b_eff.dtype)
+                      for _ in range(R)))
+        (dh1, dc1, dw, db), _ = jax.lax.scan(
+            bstep, init, jnp.arange(T), reverse=True, unroll=scan_unroll())
+        out = (jnp.stack(dw), jnp.stack(db), jnp.stack(dh1), jnp.stack(dc1))
+        return out, (True, True, True, True)
+
+    return bwd
+
+
 decoder_recurrence.defvjp(
-    lambda w, b, h1, c1, T: _dec_recurrence_fwd(w, b, h1, c1, T),
-    _dec_recurrence_bwd)
+    lambda w, b, h1, c1, T: _dec_fwd_cv(T)(w, b, h1, c1),
+    lambda T, res, dys: _dec_bwd_cv(T)(*res, dys))
 
 
 def lstm_scan(params: dict, xs: jnp.ndarray, h0: jnp.ndarray | None = None,
