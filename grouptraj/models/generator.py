@@ -440,10 +440,17 @@ def _decode_folded(dec: dict, cfg: ModelConfig, h0: jnp.ndarray,
         if impl == "fused" and jax.default_backend() == "tpu":
             from grouptraj.ops.pallas_fused import decoder_recurrence_pallas
             ys = decoder_recurrence_pallas(w_eff, b_eff, h1, c1, T - 1)
+            rest = ys @ w_p + b_p
         else:
-            from grouptraj.ops.lstm import decoder_recurrence
-            ys = decoder_recurrence(w_eff, b_eff, h1, c1, T - 1)
-        rels = jnp.concatenate([rel1, ys @ w_p + b_p], axis=0)  # [T, B, 2]
+            # hidden2pos folded INTO the recurrence: the scan emits [B, 2]
+            # rel-coords per step instead of the [B, H] hidden slab whose
+            # only consumer was this projection (ops/lstm.py
+            # decoder_proj_recurrence — the round-4 profiled fix for the
+            # multi-seed superlinear emission/cotangent ops)
+            from grouptraj.ops.lstm import decoder_proj_recurrence
+            rest = decoder_proj_recurrence(w_eff, b_eff, w_p, b_p, h1, c1,
+                                           T - 1)
+        rels = jnp.concatenate([rel1, rest], axis=0)     # [T, B, 2]
     else:
         rels = rel1
     pred_rel = jnp.moveaxis(rels, 0, 1).reshape(S, N, T, 2)

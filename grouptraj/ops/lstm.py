@@ -218,8 +218,15 @@ def encoder_recurrence(w_comp, b_comp, w_hh, xs):
     (needed in the g-step, where the discriminator input is the generator's
     output). Gradients match plain autodiff of the unfolded encoder to fp
     tolerance (tests/test_ops.py).
+
+    The primal routes through the custom_vmap entry: vmap of an
+    UNdifferentiated custom_vjp call batches this body by the ordinary
+    rules, so no-grad forwards under the multi-seed vmap would otherwise
+    run the batched-dot program the replica rules exist to avoid (round-4
+    profile; block comment above _enc_fwd_cv). The dead residuals are
+    DCE'd.
     """
-    return _enc_recurrence_fwd(w_comp, b_comp, w_hh, xs)[0]
+    return _enc_fwd_cv(w_comp, b_comp, w_hh, xs)[0]
 
 
 def _enc_recurrence_fwd(w_comp, b_comp, w_hh, xs):
@@ -273,6 +280,15 @@ def _enc_recurrence_bwd(res, cts):
 # unroll the replica axis inside the scan step so each replica runs the
 # unbatched program's fused dot+gates, with (h, c) residual emissions
 # DUS'd into [R, T, B, H] buffers (dead, hence DCE'd, in fwd-only sweeps).
+#
+# Round-4: the custom_vjp PRIMAL bodies also route through these cv
+# entries — vmap of an UNdifferentiated custom_vjp call batches the primal
+# by the ordinary rules, so the no-grad decodes under the seed vmap (the
+# g-step's best-of-20 probe at 81,920 rows; the d-step's generator
+# forward) were still running the batched program: its scan emission and
+# gate dot were the two remaining superlinear ops (695/505 us/call x 11
+# steps/iter at 8 seeds vs 26/16 single-seed, tools/profile_step.py
+# --n_seeds 8).
 
 
 @jax.custom_batching.custom_vmap
@@ -287,6 +303,9 @@ def _enc_fwd_rule(axis_size, in_batched, w_comp, b_comp, w_hh, xs):
     b_comp = _bc_rep(b_comp, in_batched[1], R)
     w_hh = _bc_rep(w_hh, in_batched[2], R)
     xs = _bc_rep(xs, in_batched[3], R)
+    if R > _vmap_unroll_max():   # guard: HLO size scales with R below
+        out = jax.vmap(_enc_recurrence_fwd)(w_comp, b_comp, w_hh, xs)
+        return out, ((True, True), (True, True, True, True, True, True))
     T, B = xs.shape[1], xs.shape[2]
     H = w_hh.shape[1]
     zeros = jnp.zeros((R, T, B, H), xs.dtype)
@@ -336,6 +355,11 @@ def _enc_bwd_rule(axis_size, in_batched, w_comp, b_comp, w_hh, xs, hs_prev,
     cs_prev = _bc_rep(cs_prev, in_batched[5], R)
     dhT = _bc_rep(dhT, in_batched[6], R)
     dcT = _bc_rep(dcT, in_batched[7], R)
+    if R > _vmap_unroll_max():   # guard: HLO size scales with R below
+        out = jax.vmap(lambda w, b, wh, x, hp, cp, dh, dc:
+                       _enc_recurrence_bwd((w, b, wh, x, hp, cp), (dh, dc)))(
+            w_comp, b_comp, w_hh, xs, hs_prev, cs_prev, dhT, dcT)
+        return out, (True, True, True, True)
     T, B, D = xs.shape[1], xs.shape[2], xs.shape[3]
     H = w_hh.shape[1]
 
@@ -389,8 +413,9 @@ encoder_recurrence.defvjp(
 def decoder_recurrence(w_eff, b_eff, h1, c1, T):
     """T steps of the folded-decoder recurrence (constant input b_eff):
     h,c evolve by ``gates = h @ W_eff + b_eff``; returns ys [T, B, H].
-    Same one-big-matmul backward as :func:`lstm_recurrence`."""
-    return _dec_recurrence_fwd(w_eff, b_eff, h1, c1, T)[0]
+    Same one-big-matmul backward as :func:`lstm_recurrence`. The primal
+    routes through the custom_vmap entry (see encoder_recurrence)."""
+    return _dec_fwd_cv(T)(w_eff, b_eff, h1, c1)[0]
 
 
 def _dec_recurrence_fwd(w_eff, b_eff, h1, c1, T):
@@ -473,6 +498,26 @@ def _bc_rep(x, batched, R):
     return x if batched else jnp.broadcast_to(x[None], (R,) + x.shape)
 
 
+def _vmap_unroll_max() -> int:
+    """Replica-axis size above which the custom_vmap rules fall back to the
+    plain batched program instead of unrolling replicas inside the scan.
+
+    The rules emit R dots + dynamic_update_slices PER SCAN STEP, so HLO
+    size and compile time scale linearly with axis_size — fine for the
+    multi-seed trainer's 4-16 replicas, pathological for e.g. per-sample
+    grads vmapped over a large batch. Above the threshold the rule returns
+    the reference batched program (correct, just XLA's batched-dot layout).
+    """
+    raw = os.environ.get("GROUPTRAJ_VMAP_UNROLL_MAX", "16")
+    try:
+        return max(1, int(raw))
+    except ValueError:
+        import warnings
+        warnings.warn(
+            f"GROUPTRAJ_VMAP_UNROLL_MAX={raw!r} is not an int; using 16")
+        return 16
+
+
 @functools.lru_cache(maxsize=None)
 def _dec_fwd_cv(T: int):
     @jax.custom_batching.custom_vmap
@@ -486,6 +531,10 @@ def _dec_fwd_cv(T: int):
         b_eff = _bc_rep(b_eff, in_batched[1], R)
         h1 = _bc_rep(h1, in_batched[2], R)
         c1 = _bc_rep(c1, in_batched[3], R)
+        if R > _vmap_unroll_max():   # guard: HLO size scales with R below
+            out = jax.vmap(lambda w, b, h, c: _dec_recurrence_fwd(
+                w, b, h, c, T))(w_eff, b_eff, h1, c1)
+            return out, (True, (True, True, True, True))
         B, H = h1.shape[1], h1.shape[2]
         zeros = jnp.zeros((R, T, B, H), h1.dtype)
 
@@ -528,6 +577,10 @@ def _dec_bwd_cv(T: int):
         hs_prev = _bc_rep(hs_prev, in_batched[2], R)
         cs_prev = _bc_rep(cs_prev, in_batched[3], R)
         dys = _bc_rep(dys, in_batched[4], R)
+        if R > _vmap_unroll_max():   # guard: HLO size scales with R below
+            out = jax.vmap(lambda w, b, hp, cp, dy: _dec_recurrence_bwd(
+                T, (w, b, hp, cp), dy))(w_eff, b_eff, hs_prev, cs_prev, dys)
+            return out, (True, True, True, True)
         B, H = hs_prev.shape[2], hs_prev.shape[3]
 
         def read(buf, r, t):
@@ -568,6 +621,204 @@ def _dec_bwd_cv(T: int):
 decoder_recurrence.defvjp(
     lambda w, b, h1, c1, T: _dec_fwd_cv(T)(w, b, h1, c1),
     lambda T, res, dys: _dec_bwd_cv(T)(*res, dys))
+
+
+# ---------------------------------------------------------------------------
+# Projection-folded decoder recurrence: emit rel-coords, not hidden states
+# ---------------------------------------------------------------------------
+#
+# :func:`decoder_recurrence` emits the [T, B, H] hidden slab whose ONLY
+# consumer is the H->2 ``hidden2pos`` projection (models/generator.py
+# ``_decode_folded``; reference Decoder models.py:157-175). Round-4
+# profiling (tools/profile_step.py --n_seeds 8) found the two remaining
+# superlinear multi-seed ops both living on that slab: the per-step
+# dynamic-update-slice emission into the [R, T, B, H] buffer (591 us/call
+# x 11 steps/iter at the best-of-20 probe's 81,920-row batch) and the
+# matching gate-dot whose output feeds it. Folding the projection INTO the
+# scan step shrinks every per-step emission (and the backward's incoming
+# cotangent slab) from [B, H] to [B, 2] — 24x less HBM traffic at H=48 —
+# while the (h, c) residual emissions stay DCE-able in no-grad decodes
+# (the probe and the d-step's generator forward consume only the rels).
+# Numerics: y_t = h_t @ W_p + b_p row-by-row is the same matmul the
+# post-scan [T·B, H] @ [H, 2] projection computed (bit-identical rows);
+# dW_p/db_p accumulate in-carry across the reverse scan, so weight grads
+# match autodiff to f32 tolerance like every recurrence here.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def decoder_proj_recurrence(w_eff, b_eff, w_p, b_p, h1, c1, T):
+    """T steps of the folded-decoder recurrence with the ``hidden2pos``
+    projection fused into the step: returns ys [T, B, 2] where
+    ``y_t = h_t @ w_p + b_p`` and h evolves by ``gates = h @ w_eff + b_eff``.
+    Equals ``decoder_recurrence(...) @ w_p + b_p`` (tested) without ever
+    materializing the [T, B, H] hidden slab. The primal routes through the
+    custom_vmap entry (see encoder_recurrence): the no-grad probe decode
+    under the seed vmap is exactly where the [B, 2] emission pays."""
+    return _dproj_fwd_cv(T)(w_eff, b_eff, w_p, b_p, h1, c1)[0]
+
+
+def _dproj_fwd(w_eff, b_eff, w_p, b_p, h1, c1, T):
+    H = h1.shape[-1]
+
+    def step(carry, _):
+        h, c = carry
+        h2, c2 = lstm_gates(h @ w_eff + b_eff, c, H)
+        return (h2, c2), (h, c, h2 @ w_p + b_p)
+
+    (_, _), (hs_prev, cs_prev, ys) = jax.lax.scan(
+        step, (h1, c1), None, length=T, unroll=scan_unroll())
+    return ys, (w_eff, b_eff, w_p, hs_prev, cs_prev)
+
+
+def _dproj_bwd_step(w_eff, b_eff, w_p, H, carry, inp):
+    """One reverse step shared by the plain bwd and the custom_vmap rule:
+    recomputes (z, gates, h2) from the saved (h_prev, c_prev), backprops the
+    projection then the gates, accumulating all four weight grads in-carry.
+    """
+    dh_next, dc_next, dw, db, dwp, dbp = carry
+    h_prev, c_prev, dy = inp
+    z = h_prev @ w_eff + b_eff
+    i, f, g, o = _gate_acts(z, H)
+    c = f * c_prev + i * g
+    tc = jnp.tanh(c)
+    h2 = o * tc
+    # projection backward: dh2 gains dy @ w_p^T; dW_p/db_p in-carry
+    dh = dh_next + jax.lax.dot_general(dy, w_p, (((1,), (1,)), ((), ())))
+    dwp = dwp + jax.lax.dot_general(h2, dy, (((0,), (0,)), ((), ())))
+    dbp = dbp + jnp.sum(dy, axis=0)
+    # gate backward (same math as _gate_bwd, gates already in registers)
+    do = dh * tc
+    dc = dc_next + dh * o * (1.0 - tc * tc)
+    dz = jnp.concatenate([
+        dc * g * i * (1.0 - i), dc * c_prev * f * (1.0 - f),
+        dc * i * (1.0 - g * g), do * o * (1.0 - o)], axis=-1)
+    dh_chain = jax.lax.dot_general(dz, w_eff, (((1,), (1,)), ((), ())))
+    dw = dw + jax.lax.dot_general(h_prev, dz, (((0,), (0,)), ((), ())))
+    return (dh_chain, dc * f, dw, db + jnp.sum(dz, axis=0), dwp, dbp)
+
+
+def _dproj_bwd(T, res, dys):
+    w_eff, b_eff, w_p, hs_prev, cs_prev = res
+    H = hs_prev.shape[-1]
+
+    def bstep(carry, inp):
+        return _dproj_bwd_step(w_eff, b_eff, w_p, H, carry, inp), None
+
+    (dh1, dc1, dw, db, dwp, dbp), _ = jax.lax.scan(
+        bstep,
+        (jnp.zeros_like(hs_prev[0]), jnp.zeros_like(cs_prev[0]),
+         jnp.zeros_like(w_eff), jnp.zeros_like(b_eff),
+         jnp.zeros((w_p.shape[0], w_p.shape[1]), w_p.dtype),
+         jnp.zeros(w_p.shape[1], w_p.dtype)),
+        (hs_prev, cs_prev, dys), reverse=True, unroll=scan_unroll())
+    return dw, db, dwp, dbp, dh1, dc1
+
+
+@functools.lru_cache(maxsize=None)
+def _dproj_fwd_cv(T: int):
+    @jax.custom_batching.custom_vmap
+    def fwd(w_eff, b_eff, w_p, b_p, h1, c1):
+        return _dproj_fwd(w_eff, b_eff, w_p, b_p, h1, c1, T)
+
+    @fwd.def_vmap
+    def _fwd_rule(axis_size, in_batched, w_eff, b_eff, w_p, b_p, h1, c1):
+        R = axis_size
+        args = [_bc_rep(x, b, R) for x, b in
+                zip((w_eff, b_eff, w_p, b_p, h1, c1), in_batched)]
+        if R > _vmap_unroll_max():
+            out = jax.vmap(
+                lambda w, b, wp, bp, h, c: _dproj_fwd(w, b, wp, bp, h, c, T)
+            )(*args)
+            return out, (True, (True, True, True, True, True))
+        w_eff, b_eff, w_p, b_p, h1, c1 = args
+        B, H = h1.shape[1], h1.shape[2]
+        P = w_p.shape[2]
+        hc_buf = jnp.zeros((R, T, B, H), h1.dtype)
+        y_buf = jnp.zeros((R, T, B, P), h1.dtype)
+
+        def step(carry, t):
+            hs, cs, hp_b, cp_b, ys_b = carry
+            new_h, new_c = [], []
+            for r in range(R):
+                hp_b = jax.lax.dynamic_update_slice(
+                    hp_b, hs[r][None, None], (r, t, 0, 0))
+                cp_b = jax.lax.dynamic_update_slice(
+                    cp_b, cs[r][None, None], (r, t, 0, 0))
+                h2, c2 = lstm_gates(hs[r] @ w_eff[r] + b_eff[r], cs[r], H)
+                y = h2 @ w_p[r] + b_p[r]
+                ys_b = jax.lax.dynamic_update_slice(
+                    ys_b, y[None, None], (r, t, 0, 0))
+                new_h.append(h2)
+                new_c.append(c2)
+            return (tuple(new_h), tuple(new_c), hp_b, cp_b, ys_b), None
+
+        init = (tuple(h1[r] for r in range(R)),
+                tuple(c1[r] for r in range(R)), hc_buf, hc_buf, y_buf)
+        (_, _, hs_prev, cs_prev, ys), _ = jax.lax.scan(
+            step, init, jnp.arange(T), unroll=scan_unroll())
+        out = (ys, (w_eff, b_eff, w_p, hs_prev, cs_prev))
+        return out, (True, (True, True, True, True, True))
+
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _dproj_bwd_cv(T: int):
+    @jax.custom_batching.custom_vmap
+    def bwd(w_eff, b_eff, w_p, hs_prev, cs_prev, dys):
+        return _dproj_bwd(T, (w_eff, b_eff, w_p, hs_prev, cs_prev), dys)
+
+    @bwd.def_vmap
+    def _bwd_rule(axis_size, in_batched, w_eff, b_eff, w_p, hs_prev,
+                  cs_prev, dys):
+        R = axis_size
+        args = [_bc_rep(x, b, R) for x, b in
+                zip((w_eff, b_eff, w_p, hs_prev, cs_prev, dys), in_batched)]
+        if R > _vmap_unroll_max():
+            out = jax.vmap(
+                lambda w, b, wp, hp, cp, dy: _dproj_bwd(
+                    T, (w, b, wp, hp, cp), dy))(*args)
+            return out, (True,) * 6
+        w_eff, b_eff, w_p, hs_prev, cs_prev, dys = args
+        B, H = hs_prev.shape[2], hs_prev.shape[3]
+        P = w_p.shape[2]
+
+        def read(buf, r, t, d):
+            return jax.lax.dynamic_slice(
+                buf, (r, t, 0, 0), (1, 1, B, d)).reshape(B, d)
+
+        def bstep(carry, t):
+            new = []
+            for r in range(R):
+                inp = (read(hs_prev, r, t, H), read(cs_prev, r, t, H),
+                       read(dys, r, t, P))
+                new.append(_dproj_bwd_step(
+                    w_eff[r], b_eff[r], w_p[r], H,
+                    tuple(c[r] for c in carry), inp))
+            return tuple(tuple(n[i] for n in new) for i in range(6)), None
+
+        zbh = jnp.zeros((B, H), hs_prev.dtype)
+        init = (tuple(zbh for _ in range(R)), tuple(zbh for _ in range(R)),
+                tuple(jnp.zeros(w_eff.shape[1:], w_eff.dtype)
+                      for _ in range(R)),
+                tuple(jnp.zeros(b_eff.shape[1:], b_eff.dtype)
+                      for _ in range(R)),
+                tuple(jnp.zeros(w_p.shape[1:], w_p.dtype)
+                      for _ in range(R)),
+                tuple(jnp.zeros(w_p.shape[2:], w_p.dtype)
+                      for _ in range(R)))
+        (dh1, dc1, dw, db, dwp, dbp), _ = jax.lax.scan(
+            bstep, init, jnp.arange(T), reverse=True, unroll=scan_unroll())
+        out = (jnp.stack(dw), jnp.stack(db), jnp.stack(dwp),
+               jnp.stack(dbp), jnp.stack(dh1), jnp.stack(dc1))
+        return out, (True,) * 6
+
+    return bwd
+
+
+decoder_proj_recurrence.defvjp(
+    lambda w, b, wp, bp, h1, c1, T: _dproj_fwd_cv(T)(w, b, wp, bp, h1, c1),
+    lambda T, res, dys: _dproj_bwd_cv(T)(*res, dys))
 
 
 def lstm_scan(params: dict, xs: jnp.ndarray, h0: jnp.ndarray | None = None,

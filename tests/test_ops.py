@@ -391,3 +391,135 @@ class TestRecurrenceCustomVJP:
                          jax.tree_util.tree_leaves(g_got)):
             np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
                                        rtol=1e-4, atol=1e-6)
+
+    def test_decoder_proj_recurrence_matches_unfolded(self):
+        """Projection-folded decoder recurrence == decoder_recurrence
+        followed by the hidden2pos matmul, values and grads."""
+        from grouptraj.ops.lstm import (
+            decoder_proj_recurrence, decoder_recurrence,
+        )
+        T, B, H = 11, 10, 16
+        ks = jax.random.split(jax.random.PRNGKey(3), 6)
+        w = jax.random.normal(ks[0], (H, 4 * H)) * 0.3
+        b = jax.random.normal(ks[1], (4 * H,)) * 0.1
+        wp = jax.random.normal(ks[2], (H, 2)) * 0.4
+        bp = jax.random.normal(ks[3], (2,)) * 0.1
+        h1 = jax.random.normal(ks[4], (B, H))
+        c1 = jax.random.normal(ks[5], (B, H))
+
+        def unfolded(w, b, wp, bp, h1, c1):
+            return decoder_recurrence(w, b, h1, c1, T) @ wp + bp
+
+        def folded(w, b, wp, bp, h1, c1):
+            return decoder_proj_recurrence(w, b, wp, bp, h1, c1, T)
+
+        np.testing.assert_allclose(
+            np.asarray(folded(w, b, wp, bp, h1, c1)),
+            np.asarray(unfolded(w, b, wp, bp, h1, c1)),
+            rtol=1e-6, atol=1e-6)
+        loss = lambda fn: lambda *a: jnp.sum(jnp.cos(fn(*a)))
+        g_want = jax.grad(loss(unfolded), argnums=tuple(range(6)))(
+            w, b, wp, bp, h1, c1)
+        g_got = jax.grad(loss(folded), argnums=tuple(range(6)))(
+            w, b, wp, bp, h1, c1)
+        for a, bb in zip(g_want, g_got):
+            np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                       rtol=1e-4, atol=1e-5)
+
+
+class TestRecurrenceCustomVmap:
+    """Op-level checks of the custom_vmap replica rules (ops/lstm.py):
+    vmap(grad(...)) over the replica axis must equal per-replica grads —
+    including unbatched-arg broadcasting, T=1, and the large-R fallback
+    to the plain batched program (GROUPTRAJ_VMAP_UNROLL_MAX)."""
+
+    R, B, H, T = 3, 6, 8, 5
+
+    def _dec_args(self, batched=True):
+        R, B, H = self.R, self.B, self.H
+        ks = jax.random.split(jax.random.PRNGKey(7), 4)
+        lead = (R,) if batched else ()
+        return (jax.random.normal(ks[0], lead + (H, 4 * H)) * 0.3,
+                jax.random.normal(ks[1], lead + (4 * H,)) * 0.1,
+                jax.random.normal(ks[2], (R, B, H)),
+                jax.random.normal(ks[3], (R, B, H)))
+
+    def _check(self, vfn, fn, args, n_batched):
+        """vmap(grad) == stacked per-replica grads for the first n_batched
+        (replica-leading) args; the rest are shared (broadcast) args."""
+        got = jax.vmap(jax.grad(vfn, argnums=tuple(range(len(args)))),
+                       in_axes=(0,) * n_batched + (None,) * (
+                           len(args) - n_batched))(*args)
+        for r in range(self.R):
+            per = jax.grad(fn, argnums=tuple(range(len(args))))(
+                *[a[r] if i < n_batched else a
+                  for i, a in enumerate(args)])
+            for g_v, g_p in zip(got, per):
+                np.testing.assert_allclose(
+                    np.asarray(g_v[r]), np.asarray(g_p),
+                    rtol=2e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("T", [5, 1])
+    def test_decoder_recurrence_vmap_grad(self, T):
+        from grouptraj.ops.lstm import decoder_recurrence
+        fn = lambda w, b, h, c: jnp.sum(
+            jnp.cos(decoder_recurrence(w, b, h, c, T)))
+        self._check(fn, fn, self._dec_args(), 4)
+
+    def test_decoder_recurrence_vmap_grad_shared_weights(self):
+        """Unbatched (shared) weights under vmap: grads per replica with
+        the shared-arg cotangent summed by vmap itself."""
+        from grouptraj.ops.lstm import decoder_recurrence
+        T = self.T
+        w, b, h, c = self._dec_args(batched=False)
+        fn = lambda h, c, w, b: jnp.sum(
+            jnp.cos(decoder_recurrence(w, b, h, c, T)))
+        self._check(fn, fn, (h, c, w, b), 2)
+
+    @pytest.mark.parametrize("T", [5, 1])
+    def test_decoder_proj_recurrence_vmap_grad(self, T):
+        from grouptraj.ops.lstm import decoder_proj_recurrence
+        R, B, H = self.R, self.B, self.H
+        ks = jax.random.split(jax.random.PRNGKey(9), 6)
+        args = (jax.random.normal(ks[0], (R, H, 4 * H)) * 0.3,
+                jax.random.normal(ks[1], (R, 4 * H)) * 0.1,
+                jax.random.normal(ks[2], (R, H, 2)) * 0.4,
+                jax.random.normal(ks[3], (R, 2)) * 0.1,
+                jax.random.normal(ks[4], (R, B, H)),
+                jax.random.normal(ks[5], (R, B, H)))
+        fn = lambda w, b, wp, bp, h, c: jnp.sum(
+            jnp.cos(decoder_proj_recurrence(w, b, wp, bp, h, c, T)))
+        self._check(fn, fn, args, 6)
+
+    @pytest.mark.parametrize("T,shared_xs", [(5, False), (1, False),
+                                             (5, True)])
+    def test_encoder_recurrence_vmap_grad(self, T, shared_xs):
+        from grouptraj.ops.lstm import encoder_recurrence
+        R, B, H = self.R, self.B, self.H
+        ks = jax.random.split(jax.random.PRNGKey(11), 4)
+        w_comp = jax.random.normal(ks[0], (R, 2, 4 * H)) * 0.4
+        b_comp = jax.random.normal(ks[1], (R, 4 * H)) * 0.1
+        w_hh = jax.random.normal(ks[2], (R, H, 4 * H)) * 0.3
+        xs_shape = ((T, B, 2) if shared_xs else (R, T, B, 2))
+        xs = jax.random.normal(ks[3], xs_shape)
+
+        def fn(w_comp, b_comp, w_hh, xs):
+            hT, cT = encoder_recurrence(w_comp, b_comp, w_hh, xs)
+            return jnp.sum(hT ** 2) + jnp.sum(jnp.sin(cT))
+
+        if shared_xs:
+            self._check(lambda w, b, wh, x: fn(w, b, wh, x),
+                        fn, (w_comp, b_comp, w_hh, xs), 3)
+        else:
+            self._check(fn, fn, (w_comp, b_comp, w_hh, xs), 4)
+
+    def test_large_axis_fallback_matches(self, monkeypatch):
+        """Above GROUPTRAJ_VMAP_UNROLL_MAX the rules fall back to the plain
+        batched program — same numbers, no per-replica unrolling."""
+        from grouptraj.ops.lstm import decoder_recurrence
+        T = self.T
+        args = self._dec_args()
+        fn = lambda w, b, h, c: jnp.sum(
+            jnp.cos(decoder_recurrence(w, b, h, c, T)))
+        monkeypatch.setenv("GROUPTRAJ_VMAP_UNROLL_MAX", "1")
+        self._check(fn, fn, args, 4)
