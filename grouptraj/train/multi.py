@@ -22,6 +22,15 @@ provenance is recorded in its args snapshot (``seed`` + ``sweep_seeds``).
 Checkpoints: each seed writes the standard dual checkpoint files to
 ``<output_dir>/s<seed>/`` with the usual best-state tracking, so
 ``scripts/evaluate_model.py --use_best 1`` works unchanged on every member.
+
+Resume: ``--restore_from_checkpoint 1`` (or ``--checkpoint_start_from
+<sweep_dir>``) restores an interrupted sweep from those per-seed files —
+states re-vmapped, counters/histories continued, and, beyond what
+``train()`` does, the per-seed RNG chains themselves (``rng_key_vec`` in
+each checkpoint) plus deterministic fast-forward of the host-side batch
+schedule, so the resumed sweep reproduces the uninterrupted run's
+remaining iterations exactly (tests/test_multi.py). Refused only on
+seed-set mismatch or a partial sweep.
 """
 
 from __future__ import annotations
@@ -58,6 +67,39 @@ def _split_keys(key_vec: jax.Array):
     return ks[:, 0], ks[:, 1]
 
 
+def _load_sweep_checkpoints(restore_dir: str, seeds: List[int],
+                            ckpt_name: str) -> Optional[List[dict]]:
+    """Load the per-seed checkpoints of an interrupted sweep from
+    ``<restore_dir>/s<seed>/`` (the layout train_many writes). Returns None
+    when NO member checkpoint exists (fresh start); refuses partial sweeps,
+    seed-set mismatches, and members checkpointed at different t (replicas
+    share one schedule, so a consistent sweep always has equal counters).
+    """
+    paths = [os.path.join(restore_dir, f"s{s}", f"{ckpt_name}_with_model.pt")
+             for s in seeds]
+    present = [os.path.exists(p) for p in paths]
+    if not any(present):
+        return None
+    if not all(present):
+        missing = [s for s, ok in zip(seeds, present) if not ok]
+        raise ValueError(
+            f"partial sweep checkpoint in {restore_dir}: seeds {missing} "
+            f"missing; delete the s*/ dirs to start fresh or restore with "
+            f"the original seed set")
+    cks = [ckpt_lib.load_checkpoint(p) for p in paths]
+    for s, ck in zip(seeds, cks):
+        saved = ck["args"].get("sweep_seeds")
+        if saved is not None and list(saved) != list(seeds):
+            raise ValueError(
+                f"sweep seed-set mismatch: checkpoint s{s} was part of "
+                f"sweep {saved}, requested {list(seeds)}")
+    ts = {ck["counters"]["t"] for ck in cks}
+    if len(ts) != 1:
+        raise ValueError(
+            f"inconsistent member counters t={sorted(ts)} in {restore_dir}")
+    return cks
+
+
 def train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
                args_snapshot: Optional[dict] = None) -> Dict[int, dict]:
     """Train one replica per seed simultaneously; returns {seed: ckpt}."""
@@ -68,10 +110,6 @@ def train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
     if tcfg.num_devices > 1:
         raise ValueError("train_many is single-device (the seed axis is the "
                          "parallel axis); use --num_devices 1")
-    if tcfg.checkpoint_start_from:
-        raise ValueError("train_many does not support checkpoint restore "
-                         "(checkpoint_start_from); replicas always start "
-                         "fresh")
     impl = select_impl(cfg, tcfg)
     if impl != "scan":
         # same reason as the pool guard below: Mosaic pallas_calls
@@ -103,16 +141,56 @@ def train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
     states = jax.jit(jax.vmap(
         lambda k: init_train_state(k, cfg, tcfg)))(init_keys)
 
+    import dataclasses
     if args_snapshot is None:
-        import dataclasses
         args_snapshot = {**dataclasses.asdict(cfg),
                          **dataclasses.asdict(tcfg)}
+    # self-describing checkpoints, as in train() (loop.py)
+    args_snapshot = dict(args_snapshot)
+    args_snapshot["resolved_model_config"] = dataclasses.asdict(cfg)
     ckpts = {}
     for s in seeds:
         snap = dict(args_snapshot)
         snap["seed"] = s
         snap["sweep_seeds"] = list(seeds)
         ckpts[s] = ckpt_lib.new_checkpoint(snap)
+
+    # ---- sweep resume (e.g. tunnel-wedge recovery, TRAINING.md): the
+    # per-seed checkpoints under <dir>/s<seed>/ restore the WHOLE sweep —
+    # states re-vmapped, per-seed RNG chains (saved as ckpt['rng_key_vec'];
+    # resumed runs reproduce the uninterrupted run's draws exactly),
+    # counters and metric histories; the host-side batch schedule and
+    # eval-subset RNG are fast-forwarded deterministically below.
+    restore_dir = tcfg.checkpoint_start_from or (
+        tcfg.output_dir if tcfg.restore_from_checkpoint else None)
+    t_restored = 0
+    if restore_dir:
+        cks = _load_sweep_checkpoints(restore_dir, seeds,
+                                      tcfg.checkpoint_name)
+        if cks is None and tcfg.checkpoint_start_from:
+            raise ValueError(
+                f"checkpoint_start_from={restore_dir!r}: no sweep member "
+                f"checkpoints (s<seed>/{tcfg.checkpoint_name}"
+                f"_with_model.pt) found to restore from")
+        if cks is not None:
+            t_restored = cks[0]["counters"]["t"] or 0
+            logger.info("Resuming %d-seed sweep from %s at t=%d",
+                        n_seeds, restore_dir, t_restored)
+            per_states = [ckpt_lib.state_from_checkpoint(ck, cfg, tcfg)
+                          for ck in cks]
+            states = jax.device_put(jax.tree_util.tree_map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                *per_states))
+            if all(ck.get("rng_key_vec") is not None for ck in cks):
+                key_vec = jnp.asarray(
+                    np.stack([np.asarray(ck["rng_key_vec"]) for ck in cks]))
+            else:
+                logger.warning(
+                    "sweep checkpoints lack rng_key_vec (pre-round-4 "
+                    "files); resuming with a fresh per-seed key chain")
+            for ck, s in zip(cks, seeds):
+                ck["restore_ts"].append(t_restored)
+                ckpts[s] = ck
 
     # metric sweeps, vmapped over (state, key); data/idx broadcast
     vsweep = jax.jit(jax.vmap(build_check_accuracy_sweep(cfg, impl),
@@ -167,9 +245,23 @@ def train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
                 pending.clear()
 
     t = 0
+    if t_restored and num_iterations >= t_restored:
+        # fast-forward the host-side schedulers to the restore point (both
+        # deterministic in tcfg.seed, mirroring the dispatch loop below)
+        while t < t_restored:
+            this_chunk = min(chunk, num_iterations - t)
+            if stream is None:
+                sched.next_dispatch(this_chunk, spi)
+            else:
+                for _ in range(spi * this_chunk):
+                    next(index_iter)
+            t += this_chunk
+        for _ in range(t_restored // tcfg.checkpoint_every):
+            eval_rng.permutation(train_loader.dense.num_seq)
     t0 = time.time()
-    logged_epoch = 0
-    t_window_start, window_t0 = 0, time.time()
+    logged_epoch = (ckpts[seeds[0]]["counters"]["epoch"] or 0) \
+        if t_restored else 0
+    t_window_start, window_t0 = t, time.time()
     while t < num_iterations:
         this_chunk = min(chunk, num_iterations - t)
         if stream is None:
@@ -233,10 +325,12 @@ def train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
             mtrains = run_sweeps(train_eval_data, train_idx, k2,
                                  nb_limit, cfg.pred_len)
             per_seed_states = snapshot_states()
+            host_keys = np.asarray(jax.device_get(key_vec))
             for i, s in enumerate(seeds):
                 ck = ckpts[s]
                 ck["counters"]["t"] = t
                 ck["counters"]["epoch"] = logged_epoch
+                ck["rng_key_vec"] = host_keys[i]   # sweep-resume RNG chain
                 ck["sample_ts"].append(t)
                 for k, v in sorted(mvals[i].items()):
                     ck["metrics_val"][k].append(v)
@@ -264,10 +358,12 @@ def train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
     logger.info("Training done in %.1fs (%d seeds)", time.time() - t0,
                 n_seeds)
     per_seed_states = snapshot_states()
+    host_keys = np.asarray(jax.device_get(key_vec))
     for i, s in enumerate(seeds):
         ck = ckpts[s]
         ck["counters"]["t"] = t
         ck["counters"]["epoch"] = logged_epoch
+        ck["rng_key_vec"] = host_keys[i]
         ck = ckpt_lib.checkpoint_from_state(ck, per_seed_states[i])
         if ck.get("g_best_state") is None:
             ck["g_best_state"] = ck["g_state"]

@@ -124,11 +124,62 @@ def test_train_many_rejects_bad_configs(data_root, tmp_path):
         train_many(cfg, tcfg, [1, 2])
     tcfg2 = TrainConfig(dataset_name="toy", batch_size=4, num_iterations=2,
                         num_epochs=0, output_dir=str(tmp_path / "y"),
-                        checkpoint_start_from="some/ckpt.pt")
-    with pytest.raises(ValueError, match="restore"):
+                        checkpoint_start_from="some/nonexistent_sweep")
+    with pytest.raises(ValueError, match="no sweep member"):
         train_many(cfg, tcfg2, [1, 2])
     with pytest.raises(ValueError, match="duplicate"):
         train_many(cfg, TrainConfig(dataset_name="toy"), [1, 1])
+
+
+def test_train_many_resume_matches_uninterrupted(data_root, tmp_path):
+    """Kill a 2-seed sweep mid-run (at a checkpoint boundary) and resume:
+    the resumed run must reproduce the uninterrupted run's remaining
+    iterations exactly — final metrics histories, counters, and weights —
+    because states, per-seed RNG chains (ckpt['rng_key_vec']) and the
+    host-side schedule are all restored/fast-forwarded."""
+    cfg = ModelConfig()
+    seeds = [5, 6]
+
+    def tc(out, iters, restore=False):
+        return TrainConfig(dataset_name="toy", batch_size=4, num_epochs=0,
+                           num_iterations=iters, checkpoint_every=2,
+                           print_every=1, best_k=2, output_dir=out,
+                           checkpoint_name="ck", num_samples_check=50,
+                           steps_per_dispatch=2,
+                           restore_from_checkpoint=restore)
+
+    full = train_many(cfg, tc(str(tmp_path / "full"), 6), seeds)
+
+    # interrupted: run 4 of 6 iterations (dies after the t=4 checkpoint),
+    # then resume the same output dir to completion
+    out2 = str(tmp_path / "resumed")
+    train_many(cfg, tc(out2, 4), seeds)
+    resumed = train_many(cfg, tc(out2, 6, restore=True), seeds)
+
+    for s in seeds:
+        a, b = full[s], resumed[s]
+        assert b["counters"]["t"] == 6
+        assert b["restore_ts"] == [4]
+        # metric histories: the resumed run reproduces the uninterrupted
+        # run's post-restore evaluations exactly (same keys, same order)
+        for k in a["metrics_val"]:
+            np.testing.assert_allclose(
+                a["metrics_val"][k], b["metrics_val"][k], atol=1e-5, rtol=0)
+        np.testing.assert_allclose(a["norm_g"], b["norm_g"], atol=1e-4,
+                                   rtol=0)
+        wa = np.concatenate([np.ravel(np.asarray(x)) for x in
+                             jax.tree_util.tree_leaves(a["g_state"])])
+        wb = np.concatenate([np.ravel(np.asarray(x)) for x in
+                             jax.tree_util.tree_leaves(b["g_state"])])
+        np.testing.assert_allclose(wa, wb, atol=1e-5, rtol=0)
+
+    # seed-set mismatch refused (same members, different order counts too:
+    # the vmapped replica order defines the schedule identity)
+    with pytest.raises(ValueError, match="mismatch"):
+        train_many(cfg, tc(out2, 6, restore=True), [6, 5])
+    # partial sweep refused
+    with pytest.raises(ValueError, match="missing"):
+        train_many(cfg, tc(out2, 6, restore=True), [5, 7])
 
 
 def test_train_many_with_ema_and_export(data_root, tmp_path):
