@@ -131,6 +131,18 @@ def make_dispatch_source(cfg: ModelConfig, tcfg: TrainConfig, train_dset,
 def train(cfg: ModelConfig, tcfg: TrainConfig,
           args_snapshot: Optional[dict] = None) -> dict:
     """Run training; returns the final checkpoint dict."""
+    try:
+        return _train(cfg, tcfg, args_snapshot)
+    finally:
+        # clear the pool kernel's data-parallel mesh installed below so a
+        # later single-device train/eval in the same process retraces the
+        # unsharded kernel
+        from grouptraj.ops.pooling import set_spmd_mesh
+        set_spmd_mesh(None)
+
+
+def _train(cfg: ModelConfig, tcfg: TrainConfig,
+           args_snapshot: Optional[dict] = None) -> dict:
     from grouptraj.ops.lstm import select_impl
     impl = select_impl(cfg, tcfg)
     train_dset, train_loader, val_loader = build_loaders(cfg, tcfg)
@@ -160,11 +172,15 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
         idx_shard = NamedSharding(mesh, P(None, None, DATA_AXIS))
         idx_shard_2d = NamedSharding(mesh, P(None, DATA_AXIS))
         data_sharding = replicated_sharding(mesh)
-        if cfg.pool_impl in ("auto", "pallas"):
-            # GSPMD can't partition the Pallas pool kernel across the mesh
-            # (it would replicate the call and gather the sharded scene
-            # axis); the decomposed XLA pool shards cleanly
-            cfg = dataclasses.replace(cfg, pool_impl="fast")
+        # the Pallas pool kernel composes with the mesh via shard_map over
+        # the scene axis (ops/pallas_pool.pool_core_pallas_spmd) — each
+        # device runs the kernel on its scene shard, dW2/db2 psum over ICI.
+        # GSPMD alone can't partition a pallas_call, which is why rounds
+        # 1-3 forced pool_impl='fast' here; the shard_map path keeps the
+        # flagship kernel under data parallelism. Installed at trace time,
+        # cleared by train()'s finally.
+        from grouptraj.ops.pooling import set_spmd_mesh
+        set_spmd_mesh(mesh, DATA_AXIS)
         logger.info("Data-parallel over %d devices (%s)", n_dev,
                     mesh.devices[0].platform)
 
@@ -185,6 +201,11 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
 
     if args_snapshot is None:
         args_snapshot = {**dataclasses.asdict(cfg), **dataclasses.asdict(tcfg)}
+    # self-describing checkpoints: store the RESOLVED ModelConfig alongside
+    # the raw flag snapshot so eval reconstructs the exact training config
+    # without weight-name forensics (compat.config_from_checkpoint_args)
+    args_snapshot = dict(args_snapshot)
+    args_snapshot["resolved_model_config"] = dataclasses.asdict(cfg)
 
     restore_path = None
     if tcfg.checkpoint_start_from:

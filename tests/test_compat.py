@@ -414,3 +414,30 @@ def test_batch_gat_matches_torch_oracle(concat_mode):
         ref = oracle(torch.as_tensor(x), torch.as_tensor(np.asarray(adj[0])))
     np.testing.assert_allclose(np.asarray(ours)[0], ref.numpy()[0],
                                atol=2e-5)
+
+
+def test_resolved_config_roundtrip():
+    """Self-describing checkpoints (round 4): the RESOLVED ModelConfig that
+    train()/train_many snapshot under args['resolved_model_config']
+    reconstructs the exact training config from args alone — no weight-name
+    forensics — even for configs whose raw flag dicts are era-ambiguous."""
+    import dataclasses
+
+    from grouptraj.config import ModelConfig
+
+    cfg = ModelConfig(graph_module="gat-mh", mlp_decoder_context=True,
+                      encoder_h_dim_g=72, decoder_h_dim_g=96,
+                      bottleneck_dim=16, noise_dim=(12,),
+                      mh_n_units=(40, 24, 40), mh_n_heads=(2, 1),
+                      pool_impl="pallas")
+    # what loop.py stores: a raw (possibly misleading) flag dict plus the
+    # resolved config — reconstruction must use the latter
+    args = {"graph_module": None, "encoder_h_dim_g": 32,
+            "resolved_model_config": dataclasses.asdict(cfg)}
+    got = config_from_checkpoint_args(args, g_state=None)
+    # pool_impl is an execution preference, reset to the eval default
+    assert got == dataclasses.replace(cfg, pool_impl="auto")
+    # absent the resolved snapshot (reference files), forensics still runs
+    legacy = config_from_checkpoint_args(
+        {"encoder_h_dim_g": 72}, g_state=None)
+    assert legacy.encoder_h_dim_g == 72 and legacy.graph_module == "gat"
