@@ -21,11 +21,20 @@ REF = os.environ.get("GROUPTRAJ_REFERENCE", "/root/reference")
 FAMILIES = {
     "sgan-gat-models": "era (c) current code: PoolHiddenNet + two-level GAT",
     "sgangat-g-p-models": "era (b) batched multi-head GAT + mlp_decoder_context",
+    "sgangat-g-models": "era (b) gat-mh eth variant (dead top-level "
+                        "spatial_embedding alongside the live modules)",
     "sgan-g-p-models": "era (b) PoolHiddenNet + GCNModule",
     "sgan-g-models": "era (b) GCNModule variant",
     "sgan-p-models": "era (a) upstream-style pool + mlp_decoder_context",
     "sgan-models": "era (a) upstream-style no pooling",
     "01": "GCNPooling era (reconstructed pool-net)",
+}
+
+# weight-bearing checkpoints that live OUTSIDE models/<family>/ dirs
+# (round-3 VERDICT missing #1): path relative to REF -> display family
+ROOT_FILES = {
+    "checkpoint_with_model.pt": "(repo root)",
+    "models/checkpoint_with_model.pt": "(models/ root)",
 }
 
 
@@ -47,7 +56,13 @@ def evaluate_checkpoint(path, num_samples, seed=0):
     cfg = config_from_checkpoint_args(ck["args"], ck["g_state"])
     params = import_generator(ck["g_state"])
     dset_name = ck["args"]["dataset_name"]
-    dpath = get_dset_path(dset_name, "test")
+    split = "test"
+    dpath = get_dset_path(dset_name, split)
+    if not os.path.isdir(dpath):
+        # the 'raw' tracker-export dataset ships train/val only
+        # (reference datasets_group/raw/) — evaluate on val and say so
+        split = "val"
+        dpath = get_dset_path(dset_name, split)
 
     class LoaderArgs:
         obs_len = cfg.obs_len
@@ -62,7 +77,7 @@ def evaluate_checkpoint(path, num_samples, seed=0):
     t0 = time.time()
     ade, fde = evaluate_bucketed(cfg, dset, params, num_samples,
                                  key=jax.random.PRNGKey(seed))
-    return {
+    out = {
         "dataset": dset_name,
         "pred_len": cfg.pred_len,
         "graph_module": cfg.graph_module,
@@ -71,6 +86,9 @@ def evaluate_checkpoint(path, num_samples, seed=0):
         "fde": round(float(fde), 3),
         "eval_s": round(time.time() - t0, 1),
     }
+    if split != "test":
+        out["split"] = split
+    return out
 
 
 def main():
@@ -81,24 +99,27 @@ def main():
     args = ap.parse_args()
 
     results = []
+    targets = []
     for fam in args.families:
         d = os.path.join(REF, "models", fam)
         if not os.path.isdir(d):
             continue
-        for f in sorted(os.listdir(d)):
-            if not f.endswith(".pt"):
-                continue
-            path = os.path.join(d, f)
-            try:
-                r = evaluate_checkpoint(path, args.num_samples)
-            except Exception as e:
-                r = {"error": f"{type(e).__name__}: {e}"}
-            if r is None:
-                continue
-            r["family"] = fam
-            r["file"] = f
-            results.append(r)
-            print(json.dumps(r), flush=True)
+        targets += [(fam, f, os.path.join(d, f))
+                    for f in sorted(os.listdir(d)) if f.endswith(".pt")]
+    targets += [(fam, rel, os.path.join(REF, rel))
+                for rel, fam in ROOT_FILES.items()
+                if os.path.exists(os.path.join(REF, rel))]
+    for fam, f, path in targets:
+        try:
+            r = evaluate_checkpoint(path, args.num_samples)
+        except Exception as e:
+            r = {"error": f"{type(e).__name__}: {e}"}
+        if r is None:
+            continue
+        r["family"] = fam
+        r["file"] = f
+        results.append(r)
+        print(json.dumps(r), flush=True)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {args.out} ({len(results)} checkpoints)")
