@@ -25,7 +25,8 @@ from grouptraj.models.modules import (
 )
 from grouptraj.ops.linear import init_linear, init_mlp, linear, mlp_forward
 from grouptraj.ops.lstm import (
-    encoder_recurrence, init_lstm, lstm_cell, lstm_gates, lstm_scan,
+    decoder_first_step, encoder_recurrence, init_lstm, lstm_cell,
+    lstm_gates, lstm_scan,
 )
 from grouptraj.ops.noise import get_noise
 from grouptraj.ops.pooling import init_pool_hidden_net, pool_hidden_net
@@ -427,15 +428,17 @@ def _decode_folded(dec: dict, cfg: ModelConfig, h0: jnp.ndarray,
     b_eff = b_p @ w_r + b_1
 
     h = h0.reshape(B, H)
-    c = jnp.zeros_like(h)
     rel0 = last_pos_rel.reshape(B, 2)
-    h1, c1 = lstm_gates(rel0 @ w_r + h @ lstm["w_hh"] + b_1, c, H)
-
+    # first step as a custom_vmap'd op (ops/lstm.py decoder_first_step):
+    # under the multi-seed vmap its batched dots were the next superlinear
+    # group after the recurrence fix — same algebra, replica-unrolled
+    h1, c1, rel1 = decoder_first_step(w_r, b_1, lstm["w_hh"], w_p, b_p,
+                                      rel0, h)
     # project each part to rel-space BEFORE concatenating: the concat (and
     # its backward split) then moves [T, B, 2] instead of a [T, B, H] slab —
     # at the g-step's [k·S·N] batch the H-wide concat/split was ~0.35 ms/iter
     # of pure HBM traffic (tools/profile_step.py `split` op)
-    rel1 = (h1 @ w_p + b_p)[None]                        # [1, B, 2]
+    rel1 = rel1[None]                                    # [1, B, 2]
     if T > 1:
         if impl == "fused" and jax.default_backend() == "tpu":
             from grouptraj.ops.pallas_fused import decoder_recurrence_pallas

@@ -821,6 +821,103 @@ decoder_proj_recurrence.defvjp(
     lambda T, res, dys: _dproj_bwd_cv(T)(*res, dys))
 
 
+# ---------------------------------------------------------------------------
+# Decoder first step: the one cell update before the constant-input algebra
+# ---------------------------------------------------------------------------
+#
+# The folded decoder's FIRST step consumes the observed displacement
+# (models/generator.py _decode_folded), so it runs outside
+# decoder_proj_recurrence — and under the multi-seed vmap its two batched
+# dots (x0 @ w_r, h0 @ w_hh at the probe's 81,920-row batch) were the next
+# superlinear group after the scan fix (~2.1 ms per 8-seed iteration:
+# fusion.5009/.5062/.5063, tools/attr_ops.py round 4). Same treatment:
+# custom_vjp with custom_vmap rules on the primal/fwd/bwd that unroll the
+# replica axis into flat per-replica dots.
+
+
+@jax.custom_vjp
+def decoder_first_step(w_r, b1c, w_hh, w_p, b_p, x0, h0):
+    """One LSTM step from a zero cell with a distinct input path, plus the
+    fused hidden2pos projection: ``z = x0 @ w_r + h0 @ w_hh + b1c``,
+    ``(h1, c1) = gates(z, 0)``, ``y1 = h1 @ w_p + b_p``. Returns
+    (h1, c1, y1); feeds :func:`decoder_proj_recurrence` for steps 2..T."""
+    return _dfs_fwd_cv(w_r, b1c, w_hh, w_p, b_p, x0, h0)[0]
+
+
+def _dfs_fwd(w_r, b1c, w_hh, w_p, b_p, x0, h0):
+    H = h0.shape[-1]
+    z = x0 @ w_r + h0 @ w_hh + b1c
+    h1, c1 = lstm_gates(z, jnp.zeros_like(h0), H)
+    return (h1, c1, h1 @ w_p + b_p), (w_r, b1c, w_hh, w_p, x0, h0)
+
+
+def _dfs_bwd(res, cts):
+    w_r, b1c, w_hh, w_p, x0, h0 = res
+    return _dfs_bwd_cv(w_r, b1c, w_hh, w_p, x0, h0, *cts)
+
+
+def _dfs_bwd_one(w_r, b1c, w_hh, w_p, x0, h0, dh1, dc1, dy1):
+    H = h0.shape[-1]
+    z = x0 @ w_r + h0 @ w_hh + b1c          # recompute
+    i, f, g, o = _gate_acts(z, H)
+    c1 = i * g                              # f * c0 = 0
+    tc = jnp.tanh(c1)
+    h1 = o * tc
+    dh = dh1 + jax.lax.dot_general(dy1, w_p, (((1,), (1,)), ((), ())))
+    dwp = jax.lax.dot_general(h1, dy1, (((0,), (0,)), ((), ())))
+    dbp = jnp.sum(dy1, axis=0)
+    do = dh * tc
+    dc = dc1 + dh * o * (1.0 - tc * tc)
+    zero = jnp.zeros_like(i)
+    dz = jnp.concatenate([
+        dc * g * i * (1.0 - i), zero,       # df: c_prev = 0 kills the term
+        dc * i * (1.0 - g * g), do * o * (1.0 - o)], axis=-1)
+    dwr = jax.lax.dot_general(x0, dz, (((0,), (0,)), ((), ())))
+    dwh = jax.lax.dot_general(h0, dz, (((0,), (0,)), ((), ())))
+    dx0 = jax.lax.dot_general(dz, w_r, (((1,), (1,)), ((), ())))
+    dh0 = jax.lax.dot_general(dz, w_hh, (((1,), (1,)), ((), ())))
+    return dwr, jnp.sum(dz, axis=0), dwh, dwp, dbp, dx0, dh0
+
+
+@jax.custom_batching.custom_vmap
+def _dfs_fwd_cv(w_r, b1c, w_hh, w_p, b_p, x0, h0):
+    return _dfs_fwd(w_r, b1c, w_hh, w_p, b_p, x0, h0)
+
+
+@_dfs_fwd_cv.def_vmap
+def _dfs_fwd_rule(axis_size, in_batched, *args):
+    R = axis_size
+    args = [_bc_rep(x, b, R) for x, b in zip(args, in_batched)]
+    if R > _vmap_unroll_max():   # guard: HLO size scales with R below
+        out = jax.vmap(_dfs_fwd)(*args)
+        return out, ((True, True, True), (True,) * 6)
+    outs = [_dfs_fwd(*[a[r] for a in args]) for r in range(R)]
+    out = (tuple(jnp.stack([o[0][i] for o in outs]) for i in range(3)),
+           tuple(args[i] for i in (0, 1, 2, 3, 5, 6)))
+    return out, ((True, True, True), (True,) * 6)
+
+
+@jax.custom_batching.custom_vmap
+def _dfs_bwd_cv(w_r, b1c, w_hh, w_p, x0, h0, dh1, dc1, dy1):
+    return _dfs_bwd_one(w_r, b1c, w_hh, w_p, x0, h0, dh1, dc1, dy1)
+
+
+@_dfs_bwd_cv.def_vmap
+def _dfs_bwd_rule(axis_size, in_batched, *args):
+    R = axis_size
+    args = [_bc_rep(x, b, R) for x, b in zip(args, in_batched)]
+    if R > _vmap_unroll_max():   # guard: HLO size scales with R below
+        return jax.vmap(_dfs_bwd_one)(*args), (True,) * 7
+    outs = [_dfs_bwd_one(*[a[r] for a in args]) for r in range(R)]
+    return (tuple(jnp.stack([o[i] for o in outs]) for i in range(7)),
+            (True,) * 7)
+
+
+decoder_first_step.defvjp(
+    lambda *a: _dfs_fwd_cv(*a),
+    _dfs_bwd)
+
+
 def lstm_scan(params: dict, xs: jnp.ndarray, h0: jnp.ndarray | None = None,
               c0: jnp.ndarray | None = None, impl: str = "scan"
               ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:

@@ -63,6 +63,23 @@ def _select_pool_impl() -> str:
     return os.environ.get("GROUPTRAJ_POOL_IMPL", "auto")
 
 
+# Active data-parallel mesh for the Pallas pool kernel, set (at trace time)
+# by the multi-device trainer/dryrun via set_spmd_mesh(). When set, kernel
+# calls go through shard_map over the scene axis (pallas_pool.
+# pool_core_pallas_spmd) instead of the bare pallas_call GSPMD can't
+# partition — this is what lets multi-chip training keep the flagship
+# kernel instead of falling back to the [S,N,N,512] XLA pair slab.
+_SPMD_MESH = None
+
+
+def set_spmd_mesh(mesh, axis: str = "data") -> None:
+    """Install (or clear, with mesh=None) the mesh the pool kernel shards
+    over. Takes effect at trace time; train()/dryrun set it before jitting
+    and clear it after."""
+    global _SPMD_MESH
+    _SPMD_MESH = None if mesh is None else (mesh, axis)
+
+
 def pool_hidden_net(params: dict, h: jnp.ndarray, end_pos: jnp.ndarray,
                     valid: jnp.ndarray, activation: str = "relu",
                     batch_norm: bool = False, dropout: float = 0.0,
@@ -97,9 +114,13 @@ def pool_hidden_net(params: dict, h: jnp.ndarray, end_pos: jnp.ndarray,
 
 def _use_pallas_pool(impl: str, S: int, N: int) -> bool:
     """The measured 'auto' rule (see the threshold comment in
-    :func:`_pool_fast`); pinned by tests/test_pallas_pool.py."""
+    :func:`_pool_fast`); pinned by tests/test_pallas_pool.py. Under a
+    data-parallel mesh the per-CALL volume each device sees is the
+    per-shard S — the same crossover applied to S // n_dev."""
     if impl == "pallas":
         return True
+    if _SPMD_MESH is not None:
+        S = S // _SPMD_MESH[0].devices.size
     return (impl == "auto" and jax.default_backend() != "cpu"
             and N <= 128 and S * N * N >= 100_000)
 
@@ -117,8 +138,18 @@ def _pool_fast(params: dict, h: jnp.ndarray, end_pos: jnp.ndarray,
     W2 = l2["linear"]["w"]                                    # [512, B]
     b2 = l2["linear"]["b"]
     E = We.shape[1]
-    u = end_pos @ (We @ W1[:E])                               # [S, N, 512]
-    a = u + h @ W1[E:] + (be @ W1[:E] + b1)                   # [S, N, 512]
+    Wu = We @ W1[:E]                                          # [2, 512]
+    cvec = be @ W1[:E] + b1                                   # [512]
+    S, N = h.shape[0], h.shape[1]
+    use_kernel = _use_pallas_pool(impl, S, N)
+    if use_kernel:
+        # replica-unrolled precompute: kernel-ready layouts under vmap
+        # (see pool_precompute); identical float ops/order to the inline
+        # form below
+        a, u = pool_precompute(end_pos, h, Wu, W1[E:], cvec)
+    else:
+        u = end_pos @ Wu                                      # [S, N, 512]
+        a = u + h @ W1[E:] + cvec                             # [S, N, 512]
     # 'auto' picks by per-call pair volume S·N² (tools/pool_bench.py, v5e
     # fwd+bwd): below ~1e5 pairs XLA keeps the whole pair slab in
     # registers/fused and wins 2-3x (N=8: 0.027 vs 0.049 ms at S=64; N=16:
@@ -128,13 +159,101 @@ def _pool_fast(params: dict, h: jnp.ndarray, end_pos: jnp.ndarray,
     # 1e5 threshold. Under the multi-seed vmap the rule sees the
     # UNBATCHED shape — also measured correct there (the XLA path batches
     # linearly; the kernel's replica fold only pays at wide buckets).
-    S, N = a.shape[0], a.shape[1]
-    if _use_pallas_pool(impl, S, N):
-        from grouptraj.ops.pallas_pool import pool_core_pallas
-        pooled = pool_core_pallas(a, u, W2, b2, valid)
+    if use_kernel:
+        if _SPMD_MESH is not None and S % _SPMD_MESH[0].devices.size == 0:
+            from grouptraj.ops.pallas_pool import pool_core_pallas_spmd
+            pooled = pool_core_pallas_spmd(a, u, W2, b2, valid,
+                                           *_SPMD_MESH)
+        elif _SPMD_MESH is not None:
+            # scene count not divisible by the mesh: the XLA core shards
+            # cleanly under GSPMD, the kernel cannot
+            pooled = pool_core(a, u, W2, b2, valid)
+        else:
+            from grouptraj.ops.pallas_pool import pool_core_pallas
+            pooled = pool_core_pallas(a, u, W2, b2, valid)
     else:
         pooled = pool_core(a, u, W2, b2, valid)
     return jnp.where(valid[..., None] > 0, pooled, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Replica-friendly a/u precompute for the kernel path
+# ---------------------------------------------------------------------------
+#
+# Under the multi-seed vmap the two precompute dots (u = p @ Wu,
+# a = u + h @ W1h + c) become batched dots whose conv lowering emits
+# transposed-layout outputs — and the Pallas kernel's custom-call needs
+# default-layout operands, so XLA inserted full-tensor copies (~0.83 ms
+# per 8-seed iteration at the d-step's stacked [8,128,64,512] a/u,
+# tools/attr_ops.py round 4). Same treatment as ops/lstm.py: custom_vjp
+# with custom_vmap rules unrolling the replica axis into flat dots whose
+# outputs are already kernel-ready. Used only on the kernel path — the
+# XLA core path wants the batched form to fuse into the pair slab.
+
+
+@jax.custom_vjp
+def pool_precompute(p, h, Wu, W1h, cvec):
+    """(a, u) for the decomposed pool core: ``u = p @ Wu``,
+    ``a = u + h @ W1h + cvec`` — same float ops/order as the inline form."""
+    return _ppre_fwd_cv(p, h, Wu, W1h, cvec)[0]
+
+
+def _ppre_one(p, h, Wu, W1h, cvec):
+    u = p @ Wu
+    return u + h @ W1h + cvec, u
+
+
+def _ppre_bwd_one(p, h, Wu, W1h, da, du_ct):
+    flat = lambda x: x.reshape(-1, x.shape[-1])
+    du = da + du_ct
+    dp = jax.lax.dot_general(du, Wu, (((du.ndim - 1,), (1,)), ((), ())))
+    dh = jax.lax.dot_general(da, W1h, (((da.ndim - 1,), (1,)), ((), ())))
+    dWu = jax.lax.dot_general(flat(p), flat(du), (((0,), (0,)), ((), ())))
+    dW1h = jax.lax.dot_general(flat(h), flat(da), (((0,), (0,)), ((), ())))
+    dc = jnp.sum(flat(da), axis=0)
+    return dp, dh, dWu, dW1h, dc
+
+
+@jax.custom_batching.custom_vmap
+def _ppre_fwd_cv(p, h, Wu, W1h, cvec):
+    out = _ppre_one(p, h, Wu, W1h, cvec)
+    return out, (p, h, Wu, W1h)
+
+
+@_ppre_fwd_cv.def_vmap
+def _ppre_fwd_rule(axis_size, in_batched, *args):
+    from grouptraj.ops.lstm import _bc_rep, _vmap_unroll_max
+    R = axis_size
+    args = [_bc_rep(x, b, R) for x, b in zip(args, in_batched)]
+    if R > _vmap_unroll_max():
+        a, u = jax.vmap(_ppre_one)(*args)
+    else:
+        outs = [_ppre_one(*[x[r] for x in args]) for r in range(R)]
+        a = jnp.stack([o[0] for o in outs])
+        u = jnp.stack([o[1] for o in outs])
+    return ((a, u), tuple(args[:4])), ((True, True), (True,) * 4)
+
+
+@jax.custom_batching.custom_vmap
+def _ppre_bwd_cv(p, h, Wu, W1h, da, du_ct):
+    return _ppre_bwd_one(p, h, Wu, W1h, da, du_ct)
+
+
+@_ppre_bwd_cv.def_vmap
+def _ppre_bwd_rule(axis_size, in_batched, *args):
+    from grouptraj.ops.lstm import _bc_rep, _vmap_unroll_max
+    R = axis_size
+    args = [_bc_rep(x, b, R) for x, b in zip(args, in_batched)]
+    if R > _vmap_unroll_max():
+        return jax.vmap(_ppre_bwd_one)(*args), (True,) * 5
+    outs = [_ppre_bwd_one(*[x[r] for x in args]) for r in range(R)]
+    return (tuple(jnp.stack([o[i] for o in outs]) for i in range(5)),
+            (True,) * 5)
+
+
+pool_precompute.defvjp(
+    lambda *a: _ppre_fwd_cv(*a),
+    lambda res, cts: _ppre_bwd_cv(*res, *cts))
 
 
 def pool_core(a: jnp.ndarray, u: jnp.ndarray, W2: jnp.ndarray,

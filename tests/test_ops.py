@@ -523,3 +523,84 @@ class TestRecurrenceCustomVmap:
             jnp.cos(decoder_recurrence(w, b, h, c, T)))
         monkeypatch.setenv("GROUPTRAJ_VMAP_UNROLL_MAX", "1")
         self._check(fn, fn, args, 4)
+
+    def test_decoder_first_step_matches_inline(self):
+        """decoder_first_step == the inline gates+projection it replaced
+        (models/generator.py _decode_folded step 1), values and grads,
+        plain and under vmap(grad) over a replica axis."""
+        from grouptraj.ops.lstm import decoder_first_step, lstm_gates
+        H, B, R = 16, 10, 3
+        ks = jax.random.split(jax.random.PRNGKey(13), 7)
+        base = (jax.random.normal(ks[0], (2, 4 * H)) * 0.4,
+                jax.random.normal(ks[1], (4 * H,)) * 0.1,
+                jax.random.normal(ks[2], (H, 4 * H)) * 0.3,
+                jax.random.normal(ks[3], (H, 2)) * 0.4,
+                jax.random.normal(ks[4], (2,)) * 0.1,
+                jax.random.normal(ks[5], (B, 2)),
+                jax.random.normal(ks[6], (B, H)))
+
+        def inline(w_r, b1c, w_hh, w_p, b_p, x0, h0):
+            h1, c1 = lstm_gates(x0 @ w_r + h0 @ w_hh + b1c,
+                                jnp.zeros_like(h0), H)
+            return h1, c1, h1 @ w_p + b_p
+
+        for a, b in zip(inline(*base), decoder_first_step(*base)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-6, atol=1e-7)
+        loss = lambda fn: lambda *a: sum(
+            jnp.sum(jnp.sin(o) * (i + 1)) for i, o in enumerate(fn(*a)))
+        g_w = jax.grad(loss(inline), argnums=tuple(range(7)))(*base)
+        g_g = jax.grad(loss(decoder_first_step),
+                       argnums=tuple(range(7)))(*base)
+        for a, b in zip(g_w, g_g):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-5)
+        argsR = [jnp.stack([a * (r + 1) / 2.0 for r in range(R)])
+                 for a in base]
+        gv = jax.vmap(jax.grad(loss(decoder_first_step),
+                               argnums=tuple(range(7))))(*argsR)
+        for r in range(R):
+            gp = jax.grad(loss(inline), argnums=tuple(range(7)))(
+                *[a[r] for a in argsR])
+            for i in range(7):
+                np.testing.assert_allclose(
+                    np.asarray(gv[i][r]), np.asarray(gp[i]),
+                    rtol=2e-4, atol=1e-5)
+
+    def test_pool_precompute_matches_inline(self):
+        """pool_precompute == the inline two-dot form (ops/pooling.py
+        _pool_fast), values and grads, plain and under vmap(grad)."""
+        from grouptraj.ops.pooling import pool_precompute
+        S, N, H, K, R = 4, 6, 16, 32, 3
+        ks = jax.random.split(jax.random.PRNGKey(17), 5)
+        base = (jax.random.normal(ks[0], (S, N, 2)),
+                jax.random.normal(ks[1], (S, N, H)),
+                jax.random.normal(ks[2], (2, K)) * 0.4,
+                jax.random.normal(ks[3], (H, K)) * 0.3,
+                jax.random.normal(ks[4], (K,)) * 0.1)
+
+        def inline(p, h, Wu, W1h, cvec):
+            u = p @ Wu
+            return u + h @ W1h + cvec, u
+
+        for a, b in zip(inline(*base), pool_precompute(*base)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-6, atol=1e-7)
+        loss = lambda fn: lambda *a: (jnp.sum(jnp.sin(fn(*a)[0]))
+                                      + jnp.sum(jnp.cos(fn(*a)[1])))
+        g_w = jax.grad(loss(inline), argnums=tuple(range(5)))(*base)
+        g_g = jax.grad(loss(pool_precompute), argnums=tuple(range(5)))(*base)
+        for a, b in zip(g_w, g_g):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-5)
+        argsR = [jnp.stack([a * (r + 1) / 2.0 for r in range(R)])
+                 for a in base]
+        gv = jax.vmap(jax.grad(loss(pool_precompute),
+                               argnums=tuple(range(5))))(*argsR)
+        for r in range(R):
+            gp = jax.grad(loss(inline), argnums=tuple(range(5)))(
+                *[a[r] for a in argsR])
+            for i in range(5):
+                np.testing.assert_allclose(
+                    np.asarray(gv[i][r]), np.asarray(gp[i]),
+                    rtol=2e-4, atol=1e-5)
