@@ -84,9 +84,10 @@ def dryrun_multichip(n_devices: int) -> None:
     mesh = make_mesh(n_devices, devices)
 
     cfg = ModelConfig()                      # flagship GAT preset
-    # mirror train()'s n_dev>1 override (loop.py): GSPMD can't partition
-    # the Pallas pool kernel across the mesh — multi-device training runs
-    # the decomposed XLA pool, so the dryrun must exercise exactly that
+    # stages 1-2 run the decomposed XLA pool (what 'auto' resolves to at
+    # these tiny pair volumes); stage 3 exercises the shard_map'd Pallas
+    # pool kernel — the path multi-device training keeps at production
+    # volumes (train() installs the mesh via set_spmd_mesh)
     import dataclasses as _dc
     if cfg.pool_impl in ("auto", "pallas"):
         cfg = _dc.replace(cfg, pool_impl="fast")
@@ -146,3 +147,46 @@ def dryrun_multichip(n_devices: int) -> None:
                 f"chunked loss diverged on mesh: {name} {a} vs {b}")
     leaf = jax.tree_util.tree_leaves(results["mesh"][0].g_params)[0]
     assert len(leaf.sharding.device_set) == n_devices
+
+    # ---- stage 3: the shard_map'd Pallas pool kernel (what production
+    # multi-chip training runs at real pair volumes, train/loop.py
+    # set_spmd_mesh) — interpret mode on the CPU mesh, same harness as
+    # tests/test_pallas_pool.py; loss parity vs the SAME kernel unsharded.
+    import os
+
+    from grouptraj.ops.pooling import set_spmd_mesh
+
+    cfg_k = _dc.replace(cfg, pool_impl="pallas")
+    os.environ["GROUPTRAJ_PALLAS_INTERPRET"] = "1"
+    try:
+        run_k = {}
+        for tag in ("single", "mesh"):
+            set_spmd_mesh(mesh if tag == "mesh" else None)
+            runner = make_train_chunk(cfg_k, tcfg, "scan", chunk)
+            rng = np.random.default_rng(0)
+            st = (replicate_state(state0, mesh) if tag == "mesh"
+                  else state0)
+            losses_all = []
+            for width, num_seq in ((8, 12), (16, 6)):
+                data = synthetic_device_data(
+                    num_seq, width, cfg.obs_len, cfg.pred_len, seed=width,
+                    sharding=(replicated_sharding(mesh) if tag == "mesh"
+                              else None))
+                idx = rng.integers(
+                    0, num_seq,
+                    (chunk, spi, tcfg.batch_size)).astype(np.int32)
+                st, losses = runner(
+                    st, data,
+                    (jax.device_put(idx, idx_shard) if tag == "mesh"
+                     else jnp.asarray(idx)), jax.random.PRNGKey(9))
+                losses_all.append(jax.device_get(losses))
+            run_k[tag] = losses_all
+        for la, lb in zip(run_k["single"], run_k["mesh"]):
+            for name in la:
+                a, b = np.asarray(la[name]), np.asarray(lb[name])
+                assert np.isfinite(a).all() and np.isfinite(b).all(), name
+                assert np.allclose(a, b, atol=2e-3), (
+                    f"sharded pool kernel diverged: {name} {a} vs {b}")
+    finally:
+        set_spmd_mesh(None)
+        os.environ.pop("GROUPTRAJ_PALLAS_INTERPRET", None)
