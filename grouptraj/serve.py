@@ -30,7 +30,21 @@ from grouptraj.utils import relative_to_abs, round_up
 
 class Predictor:
     def __init__(self, params, cfg: ModelConfig, num_samples: int = 20,
-                 buckets: Sequence[int] = (8, 16, 32, 64), seed: int = 0):
+                 buckets: Sequence[int] = (8, 16, 32, 64), seed: int = 0,
+                 param_dtype="bfloat16"):
+        """``param_dtype``: weights are held on device in this dtype
+        (default bf16 — halves weight HBM reads on the weight-bandwidth-
+        bound sampler for a measured 1.45x throughput; quality-gated on
+        the zara1 flagship at Bo20 ADE/FDE 0.3312/0.6439 vs f32
+        0.3312/0.6444, tools/serve_bf16_probe.py). Inputs/positions stay
+        f32 — coordinates at bf16 would cost cm-level error. Pass
+        ``param_dtype=None`` (or "float32") for exact-f32 serving."""
+        if param_dtype is not None:
+            d = jnp.dtype(param_dtype)
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(d)
+                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+                params)
         self.params = params
         self.cfg = cfg
         self.num_samples = num_samples
