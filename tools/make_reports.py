@@ -209,13 +209,18 @@ def write_parity():
     pj = os.path.join(ROOT, "PARITY.json")
     if os.path.exists(pj):
         results = json.load(open(pj))
+        n = len(results)
         par = ["# PARITY — reference pretrained checkpoints through grouptraj",
                "",
-               "Every loadable reference checkpoint family, imported by "
-               "`grouptraj.compat` and evaluated best-of-20 on its test "
-               "split by the TPU pipeline. Single-sample val ADEs recorded "
-               "in the checkpoints themselves are ~1.1-1.3 m (BASELINE.md); "
-               "best-of-20 numbers below are the deployable metric.",
+               f"All {n} weight-bearing reference checkpoints ({n}/41 "
+               "files; the 41st, the repo-root `checkpoint_no_model.pt`, "
+               "stores optimizer/metric state with no model weights), "
+               "imported by `grouptraj.compat` and evaluated best-of-20 on "
+               "their test split by the TPU pipeline (the `raw` tracker-"
+               "export model on its val split — that dataset ships no test "
+               "split). Single-sample val ADEs recorded in the checkpoints "
+               "themselves are ~1.1-1.3 m (BASELINE.md); best-of-20 numbers "
+               "below are the deployable metric.",
                "",
                "| family | checkpoint | dataset | graph | pooling | ADE | "
                "FDE |",
