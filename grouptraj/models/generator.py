@@ -249,6 +249,7 @@ def generator_sample_many(
     keys: jax.Array,           # [K] sample keys
     train: bool = True,
     impl: str = "scan",
+    user_noises: Optional[jnp.ndarray] = None,  # [K, S, N, nd] pre-drawn z
 ) -> jnp.ndarray:
     """All K best-of-k samples in ONE decoder pass -> [K, S, N, Tp, 2].
 
@@ -262,6 +263,12 @@ def generator_sample_many(
     dropout keys of the ``pool_every_timestep`` path are shared across
     samples here (they are per-sample under vmap) — callers on that path
     with dropout > 0 use the vmap fallback (train/steps.py selects it).
+
+    ``user_noises`` (optional ``[K, S, N, nd]``) replaces the internal
+    draws — same seam as ``generator_sample(user_noise=...)``, used by the
+    bf16 probe decode (train/steps.py) to keep the noise DRAWN in f32 (and
+    bit-shared with the f32 re-decode) while the decode itself runs in a
+    lower precision.
     """
     K = keys.shape[0]
     S, N = valid.shape
@@ -269,10 +276,12 @@ def generator_sample_many(
     last_rel = obs_rel[:, :, -1, :]
     nd = cfg.noise_first_dim
 
-    def mk_h(key):
+    def mk_h(key, z_user):
         k_noise, _, _, k_dec = jax.random.split(key, 4)
         if nd:
-            if cfg.noise_mix_type == "global":
+            if z_user is not None:
+                z = z_user.astype(noise_input.dtype)
+            elif cfg.noise_mix_type == "global":
                 z = get_noise(k_noise, (S, nd), cfg.noise_type,
                               noise_input.dtype)
                 z = jnp.broadcast_to(z[:, None, :], (S, N, nd))
@@ -282,7 +291,10 @@ def generator_sample_many(
             return jnp.concatenate([noise_input, z], axis=-1), k_dec
         return noise_input, k_dec
 
-    decoder_h, k_decs = jax.vmap(mk_h)(keys)               # [K, S, N, H]
+    if user_noises is None:
+        decoder_h, k_decs = jax.vmap(lambda k: mk_h(k, None))(keys)
+    else:
+        decoder_h, k_decs = jax.vmap(mk_h)(keys, user_noises)  # [K, S, N, H]
     tile = lambda a: jnp.broadcast_to(
         a[None], (K,) + a.shape).reshape((K * a.shape[0],) + a.shape[1:])
     pred = _decode(params["decoder"], cfg,

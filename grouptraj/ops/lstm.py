@@ -21,6 +21,9 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from grouptraj.ops.replica_scan import (
+    bc_args, replica_scan, stack_slots, vmap_unroll_max as _vmap_unroll_max)
+
 # Time-loop unroll factor for the scans (this module + the decoder scan).
 # Measured on the v5e training step (bench.py, zara1 Bo20 bucketed):
 # unroll 1 = 128 it/s, 4 = 90, 8 = 108 — unrolling only bloats the HLO at
@@ -299,41 +302,26 @@ def _enc_fwd_cv(w_comp, b_comp, w_hh, xs):
 @_enc_fwd_cv.def_vmap
 def _enc_fwd_rule(axis_size, in_batched, w_comp, b_comp, w_hh, xs):
     R = axis_size
-    w_comp = _bc_rep(w_comp, in_batched[0], R)
-    b_comp = _bc_rep(b_comp, in_batched[1], R)
-    w_hh = _bc_rep(w_hh, in_batched[2], R)
-    xs = _bc_rep(xs, in_batched[3], R)
+    w_comp, b_comp, w_hh, xs = bc_args(
+        (w_comp, b_comp, w_hh, xs), in_batched, R)
     if R > _vmap_unroll_max():   # guard: HLO size scales with R below
         out = jax.vmap(_enc_recurrence_fwd)(w_comp, b_comp, w_hh, xs)
         return out, ((True, True), (True, True, True, True, True, True))
     T, B = xs.shape[1], xs.shape[2]
     H = w_hh.shape[1]
-    zeros = jnp.zeros((R, T, B, H), xs.dtype)
     zbh = jnp.zeros((B, H), xs.dtype)
 
-    def step(carry, t):
-        hs, cs, hp_b, cp_b = carry
-        new_h, new_c = [], []
-        for r in range(R):
-            hp_b = jax.lax.dynamic_update_slice(
-                hp_b, hs[r][None, None], (r, t, 0, 0))
-            cp_b = jax.lax.dynamic_update_slice(
-                cp_b, cs[r][None, None], (r, t, 0, 0))
-            x = jax.lax.dynamic_slice(
-                xs, (r, t, 0, 0), (1, 1, B, xs.shape[3])).reshape(
-                    B, xs.shape[3])
-            h2, c2 = lstm_gates(
-                x @ w_comp[r] + b_comp[r] + hs[r] @ w_hh[r], cs[r], H)
-            new_h.append(h2)
-            new_c.append(c2)
-        return (tuple(new_h), tuple(new_c), hp_b, cp_b), None
+    def step(r, carry, reads):
+        h, c = carry
+        (x,) = reads
+        h2, c2 = lstm_gates(x @ w_comp[r] + b_comp[r] + h @ w_hh[r], c, H)
+        return (h2, c2), (h, c)
 
-    init = (tuple(zbh for _ in range(R)), tuple(zbh for _ in range(R)),
-            zeros, zeros)
-    (hT, cT, hs_prev, cs_prev), _ = jax.lax.scan(
-        step, init, jnp.arange(T), unroll=scan_unroll())
-    out = ((jnp.stack(hT), jnp.stack(cT)),
-           (w_comp, b_comp, w_hh, xs, hs_prev, cs_prev))
+    carries, (hs_prev, cs_prev) = replica_scan(
+        step, tuple((zbh, zbh) for _ in range(R)), (xs,), T,
+        unroll=scan_unroll())
+    hT, cT = stack_slots(carries, 2)
+    out = ((hT, cT), (w_comp, b_comp, w_hh, xs, hs_prev, cs_prev))
     return out, ((True, True), (True, True, True, True, True, True))
 
 
@@ -347,61 +335,44 @@ def _enc_bwd_cv(w_comp, b_comp, w_hh, xs, hs_prev, cs_prev, dhT, dcT):
 def _enc_bwd_rule(axis_size, in_batched, w_comp, b_comp, w_hh, xs, hs_prev,
                   cs_prev, dhT, dcT):
     R = axis_size
-    w_comp = _bc_rep(w_comp, in_batched[0], R)
-    b_comp = _bc_rep(b_comp, in_batched[1], R)
-    w_hh = _bc_rep(w_hh, in_batched[2], R)
-    xs = _bc_rep(xs, in_batched[3], R)
-    hs_prev = _bc_rep(hs_prev, in_batched[4], R)
-    cs_prev = _bc_rep(cs_prev, in_batched[5], R)
-    dhT = _bc_rep(dhT, in_batched[6], R)
-    dcT = _bc_rep(dcT, in_batched[7], R)
+    (w_comp, b_comp, w_hh, xs, hs_prev, cs_prev, dhT, dcT) = bc_args(
+        (w_comp, b_comp, w_hh, xs, hs_prev, cs_prev, dhT, dcT),
+        in_batched, R)
     if R > _vmap_unroll_max():   # guard: HLO size scales with R below
         out = jax.vmap(lambda w, b, wh, x, hp, cp, dh, dc:
                        _enc_recurrence_bwd((w, b, wh, x, hp, cp), (dh, dc)))(
             w_comp, b_comp, w_hh, xs, hs_prev, cs_prev, dhT, dcT)
         return out, (True, True, True, True)
-    T, B, D = xs.shape[1], xs.shape[2], xs.shape[3]
+    T = xs.shape[1]
     H = w_hh.shape[1]
 
-    def read(buf, r, t, d):
-        return jax.lax.dynamic_slice(
-            buf, (r, t, 0, 0), (1, 1, B, d)).reshape(B, d)
+    def bstep(r, carry, reads):
+        dh, dc, dwc, dwh, db = carry
+        x, h_prev, c_prev = reads
+        z = x @ w_comp[r] + b_comp[r] + h_prev @ w_hh[r]
+        dz, dc_chain = _gate_bwd(z, c_prev, dh, dc, H)
+        dh_chain = jax.lax.dot_general(
+            dz, w_hh[r], (((1,), (1,)), ((), ())))
+        dwh = dwh + jax.lax.dot_general(
+            h_prev, dz, (((0,), (0,)), ((), ())))
+        dwc = dwc + jax.lax.dot_general(
+            x, dz, (((0,), (0,)), ((), ())))
+        dx = jax.lax.dot_general(
+            dz, w_comp[r], (((1,), (1,)), ((), ())))
+        return (dh_chain, dc_chain, dwc, dwh,
+                db + jnp.sum(dz, axis=0)), (dx,)
 
-    def bstep(carry, t):
-        dhs, dcs, dwcs, dwhs, dbs, dxs_b = carry
-        ndh, ndc, ndwc, ndwh, ndb = [], [], [], [], []
-        for r in range(R):
-            x = read(xs, r, t, D)
-            h_prev = read(hs_prev, r, t, H)
-            c_prev = read(cs_prev, r, t, H)
-            z = x @ w_comp[r] + b_comp[r] + h_prev @ w_hh[r]
-            dz, dc_chain = _gate_bwd(z, c_prev, dhs[r], dcs[r], H)
-            ndh.append(jax.lax.dot_general(
-                dz, w_hh[r], (((1,), (1,)), ((), ()))))
-            ndc.append(dc_chain)
-            ndwh.append(dwhs[r] + jax.lax.dot_general(
-                h_prev, dz, (((0,), (0,)), ((), ()))))
-            ndwc.append(dwcs[r] + jax.lax.dot_general(
-                x, dz, (((0,), (0,)), ((), ()))))
-            ndb.append(dbs[r] + jnp.sum(dz, axis=0))
-            dx = jax.lax.dot_general(
-                dz, w_comp[r], (((1,), (1,)), ((), ())))
-            dxs_b = jax.lax.dynamic_update_slice(
-                dxs_b, dx[None, None], (r, t, 0, 0))
-        return (tuple(ndh), tuple(ndc), tuple(ndwc), tuple(ndwh),
-                tuple(ndb), dxs_b), None
-
-    init = (tuple(dhT[r] for r in range(R)), tuple(dcT[r] for r in range(R)),
-            tuple(jnp.zeros(w_comp.shape[1:], w_comp.dtype)
-                  for _ in range(R)),
-            tuple(jnp.zeros(w_hh.shape[1:], w_hh.dtype) for _ in range(R)),
-            tuple(jnp.zeros(b_comp.shape[1:], b_comp.dtype)
-                  for _ in range(R)),
-            jnp.zeros((R, T, B, D), xs.dtype))
-    (_, _, dwc, dwh, db, dxs), _ = jax.lax.scan(
-        bstep, init, jnp.arange(T), reverse=True, unroll=scan_unroll())
-    out = (jnp.stack(dwc), jnp.stack(db), jnp.stack(dwh), dxs)
-    return out, (True, True, True, True)
+    init = tuple(
+        (dhT[r], dcT[r],
+         jnp.zeros(w_comp.shape[1:], w_comp.dtype),
+         jnp.zeros(w_hh.shape[1:], w_hh.dtype),
+         jnp.zeros(b_comp.shape[1:], b_comp.dtype))
+        for r in range(R))
+    carries, (dxs,) = replica_scan(
+        bstep, init, (xs, hs_prev, cs_prev), T, reverse=True,
+        unroll=scan_unroll())
+    _, _, dwc, dwh, db = stack_slots(carries, 5)
+    return (dwc, db, dwh, dxs), (True, True, True, True)
 
 
 encoder_recurrence.defvjp(
@@ -482,40 +453,18 @@ def _dec_recurrence_bwd(T, res, dys):
 # The rules below restore the unbatched program's structure: the (small,
 # static) replica axis is unrolled INSIDE the scan body, so each step runs
 # R flat [B, H] @ [H, 4H] dots whose gate nonlinearities fuse into the
-# matmul output (gates never touch HBM), and the per-step emissions are
-# dynamic-update-sliced into [R, T, B, H] carry buffers so the batch axis
-# stays leading (custom_vmap's calling convention) without a post-scan
-# transpose. hs_prev is derived from ys by a shift-concat OUTSIDE the scan
+# matmul output (gates never touch HBM). Buffer IO goes through
+# ops/replica_scan.replica_scan (round 5): per-step emissions for ALL
+# replicas land with ONE [R, 1, B, D] dynamic_update_slice into the
+# [R, T, B, D] carry buffer (round 4 did one DUS per replica per step —
+# ~14.5k ~3.3 µs ops per 8-seed chunk, 10.2% of device time), and reverse
+# scans read their time slices the same fused way. The batch axis stays
+# leading (custom_vmap's calling convention) with no post-scan transpose.
+# hs_prev is derived from ys by a shift-concat OUTSIDE the scan
 # (h_{t-1} = ys[t-1], h1 prepended) — in the no-grad probe decode both it
 # and the cs_prev buffer are dead and XLA's while-loop simplifier removes
 # them. Same composition as ops/pallas_pool.py: custom_vjp outside,
 # custom_vmap inside (the vjp rules are never themselves differentiated).
-
-
-def _bc_rep(x, batched, R):
-    """Broadcast an un-batched arg to the replica axis (custom_vmap rules
-    receive batched args with the axis moved to dim 0)."""
-    return x if batched else jnp.broadcast_to(x[None], (R,) + x.shape)
-
-
-def _vmap_unroll_max() -> int:
-    """Replica-axis size above which the custom_vmap rules fall back to the
-    plain batched program instead of unrolling replicas inside the scan.
-
-    The rules emit R dots + dynamic_update_slices PER SCAN STEP, so HLO
-    size and compile time scale linearly with axis_size — fine for the
-    multi-seed trainer's 4-16 replicas, pathological for e.g. per-sample
-    grads vmapped over a large batch. Above the threshold the rule returns
-    the reference batched program (correct, just XLA's batched-dot layout).
-    """
-    raw = os.environ.get("GROUPTRAJ_VMAP_UNROLL_MAX", "16")
-    try:
-        return max(1, int(raw))
-    except ValueError:
-        import warnings
-        warnings.warn(
-            f"GROUPTRAJ_VMAP_UNROLL_MAX={raw!r} is not an int; using 16")
-        return 16
 
 
 @functools.lru_cache(maxsize=None)
@@ -527,34 +476,22 @@ def _dec_fwd_cv(T: int):
     @fwd.def_vmap
     def _fwd_rule(axis_size, in_batched, w_eff, b_eff, h1, c1):
         R = axis_size
-        w_eff = _bc_rep(w_eff, in_batched[0], R)
-        b_eff = _bc_rep(b_eff, in_batched[1], R)
-        h1 = _bc_rep(h1, in_batched[2], R)
-        c1 = _bc_rep(c1, in_batched[3], R)
+        w_eff, b_eff, h1, c1 = bc_args(
+            (w_eff, b_eff, h1, c1), in_batched, R)
         if R > _vmap_unroll_max():   # guard: HLO size scales with R below
             out = jax.vmap(lambda w, b, h, c: _dec_recurrence_fwd(
                 w, b, h, c, T))(w_eff, b_eff, h1, c1)
             return out, (True, (True, True, True, True))
-        B, H = h1.shape[1], h1.shape[2]
-        zeros = jnp.zeros((R, T, B, H), h1.dtype)
+        H = h1.shape[2]
 
-        def step(carry, t):
-            hs, cs, ys_b, cp_b = carry
-            new_h, new_c = [], []
-            for r in range(R):
-                cp_b = jax.lax.dynamic_update_slice(
-                    cp_b, cs[r][None, None], (r, t, 0, 0))
-                h2, c2 = lstm_gates(hs[r] @ w_eff[r] + b_eff[r], cs[r], H)
-                ys_b = jax.lax.dynamic_update_slice(
-                    ys_b, h2[None, None], (r, t, 0, 0))
-                new_h.append(h2)
-                new_c.append(c2)
-            return (tuple(new_h), tuple(new_c), ys_b, cp_b), None
+        def step(r, carry, reads):
+            h, c = carry
+            h2, c2 = lstm_gates(h @ w_eff[r] + b_eff[r], c, H)
+            return (h2, c2), (c, h2)
 
-        init = (tuple(h1[r] for r in range(R)),
-                tuple(c1[r] for r in range(R)), zeros, zeros)
-        (_, _, ys, cs_prev), _ = jax.lax.scan(
-            step, init, jnp.arange(T), unroll=scan_unroll())
+        _, (cs_prev, ys) = replica_scan(
+            step, tuple((h1[r], c1[r]) for r in range(R)), (), T,
+            unroll=scan_unroll())
         hs_prev = jnp.concatenate([h1[:, None], ys[:, :T - 1]], axis=1)
         out = (ys, (w_eff, b_eff, hs_prev, cs_prev))
         return out, (True, (True, True, True, True))
@@ -572,48 +509,35 @@ def _dec_bwd_cv(T: int):
     def _bwd_rule(axis_size, in_batched, w_eff, b_eff, hs_prev, cs_prev,
                   dys):
         R = axis_size
-        w_eff = _bc_rep(w_eff, in_batched[0], R)
-        b_eff = _bc_rep(b_eff, in_batched[1], R)
-        hs_prev = _bc_rep(hs_prev, in_batched[2], R)
-        cs_prev = _bc_rep(cs_prev, in_batched[3], R)
-        dys = _bc_rep(dys, in_batched[4], R)
+        w_eff, b_eff, hs_prev, cs_prev, dys = bc_args(
+            (w_eff, b_eff, hs_prev, cs_prev, dys), in_batched, R)
         if R > _vmap_unroll_max():   # guard: HLO size scales with R below
             out = jax.vmap(lambda w, b, hp, cp, dy: _dec_recurrence_bwd(
                 T, (w, b, hp, cp), dy))(w_eff, b_eff, hs_prev, cs_prev, dys)
             return out, (True, True, True, True)
         B, H = hs_prev.shape[2], hs_prev.shape[3]
 
-        def read(buf, r, t):
-            return jax.lax.dynamic_slice(
-                buf, (r, t, 0, 0), (1, 1, B, H)).reshape(B, H)
-
-        def bstep(carry, t):
-            dhs, dcs, dws, dbs = carry
-            ndh, ndc, ndw, ndb = [], [], [], []
-            for r in range(R):
-                h_prev = read(hs_prev, r, t)
-                c_prev = read(cs_prev, r, t)
-                dy = read(dys, r, t)
-                z = h_prev @ w_eff[r] + b_eff[r]
-                dz, dc_chain = _gate_bwd(z, c_prev, dhs[r] + dy, dcs[r], H)
-                ndh.append(jax.lax.dot_general(
-                    dz, w_eff[r], (((1,), (1,)), ((), ()))))
-                ndc.append(dc_chain)
-                ndw.append(dws[r] + jax.lax.dot_general(
-                    h_prev, dz, (((0,), (0,)), ((), ()))))
-                ndb.append(dbs[r] + jnp.sum(dz, axis=0))
-            return (tuple(ndh), tuple(ndc), tuple(ndw), tuple(ndb)), None
+        def bstep(r, carry, reads):
+            dh, dc, dw, db = carry
+            h_prev, c_prev, dy = reads
+            z = h_prev @ w_eff[r] + b_eff[r]
+            dz, dc_chain = _gate_bwd(z, c_prev, dh + dy, dc, H)
+            dh_chain = jax.lax.dot_general(
+                dz, w_eff[r], (((1,), (1,)), ((), ())))
+            dw = dw + jax.lax.dot_general(
+                h_prev, dz, (((0,), (0,)), ((), ())))
+            return (dh_chain, dc_chain, dw, db + jnp.sum(dz, axis=0)), ()
 
         zbh = jnp.zeros((B, H), hs_prev.dtype)
-        init = (tuple(zbh for _ in range(R)), tuple(zbh for _ in range(R)),
-                tuple(jnp.zeros(w_eff.shape[1:], w_eff.dtype)
-                      for _ in range(R)),
-                tuple(jnp.zeros(b_eff.shape[1:], b_eff.dtype)
-                      for _ in range(R)))
-        (dh1, dc1, dw, db), _ = jax.lax.scan(
-            bstep, init, jnp.arange(T), reverse=True, unroll=scan_unroll())
-        out = (jnp.stack(dw), jnp.stack(db), jnp.stack(dh1), jnp.stack(dc1))
-        return out, (True, True, True, True)
+        init = tuple(
+            (zbh, zbh, jnp.zeros(w_eff.shape[1:], w_eff.dtype),
+             jnp.zeros(b_eff.shape[1:], b_eff.dtype))
+            for _ in range(R))
+        carries, _ = replica_scan(
+            bstep, init, (hs_prev, cs_prev, dys), T, reverse=True,
+            unroll=scan_unroll())
+        dh1, dc1, dw, db = stack_slots(carries, 4)
+        return (dw, db, dh1, dc1), (True, True, True, True)
 
     return bwd
 
@@ -723,39 +647,23 @@ def _dproj_fwd_cv(T: int):
     @fwd.def_vmap
     def _fwd_rule(axis_size, in_batched, w_eff, b_eff, w_p, b_p, h1, c1):
         R = axis_size
-        args = [_bc_rep(x, b, R) for x, b in
-                zip((w_eff, b_eff, w_p, b_p, h1, c1), in_batched)]
+        args = bc_args((w_eff, b_eff, w_p, b_p, h1, c1), in_batched, R)
         if R > _vmap_unroll_max():
             out = jax.vmap(
                 lambda w, b, wp, bp, h, c: _dproj_fwd(w, b, wp, bp, h, c, T)
             )(*args)
             return out, (True, (True, True, True, True, True))
         w_eff, b_eff, w_p, b_p, h1, c1 = args
-        B, H = h1.shape[1], h1.shape[2]
-        P = w_p.shape[2]
-        hc_buf = jnp.zeros((R, T, B, H), h1.dtype)
-        y_buf = jnp.zeros((R, T, B, P), h1.dtype)
+        H = h1.shape[2]
 
-        def step(carry, t):
-            hs, cs, hp_b, cp_b, ys_b = carry
-            new_h, new_c = [], []
-            for r in range(R):
-                hp_b = jax.lax.dynamic_update_slice(
-                    hp_b, hs[r][None, None], (r, t, 0, 0))
-                cp_b = jax.lax.dynamic_update_slice(
-                    cp_b, cs[r][None, None], (r, t, 0, 0))
-                h2, c2 = lstm_gates(hs[r] @ w_eff[r] + b_eff[r], cs[r], H)
-                y = h2 @ w_p[r] + b_p[r]
-                ys_b = jax.lax.dynamic_update_slice(
-                    ys_b, y[None, None], (r, t, 0, 0))
-                new_h.append(h2)
-                new_c.append(c2)
-            return (tuple(new_h), tuple(new_c), hp_b, cp_b, ys_b), None
+        def step(r, carry, reads):
+            h, c = carry
+            h2, c2 = lstm_gates(h @ w_eff[r] + b_eff[r], c, H)
+            return (h2, c2), (h, c, h2 @ w_p[r] + b_p[r])
 
-        init = (tuple(h1[r] for r in range(R)),
-                tuple(c1[r] for r in range(R)), hc_buf, hc_buf, y_buf)
-        (_, _, hs_prev, cs_prev, ys), _ = jax.lax.scan(
-            step, init, jnp.arange(T), unroll=scan_unroll())
+        _, (hs_prev, cs_prev, ys) = replica_scan(
+            step, tuple((h1[r], c1[r]) for r in range(R)), (), T,
+            unroll=scan_unroll())
         out = (ys, (w_eff, b_eff, w_p, hs_prev, cs_prev))
         return out, (True, (True, True, True, True, True))
 
@@ -772,8 +680,8 @@ def _dproj_bwd_cv(T: int):
     def _bwd_rule(axis_size, in_batched, w_eff, b_eff, w_p, hs_prev,
                   cs_prev, dys):
         R = axis_size
-        args = [_bc_rep(x, b, R) for x, b in
-                zip((w_eff, b_eff, w_p, hs_prev, cs_prev, dys), in_batched)]
+        args = bc_args(
+            (w_eff, b_eff, w_p, hs_prev, cs_prev, dys), in_batched, R)
         if R > _vmap_unroll_max():
             out = jax.vmap(
                 lambda w, b, wp, hp, cp, dy: _dproj_bwd(
@@ -781,37 +689,23 @@ def _dproj_bwd_cv(T: int):
             return out, (True,) * 6
         w_eff, b_eff, w_p, hs_prev, cs_prev, dys = args
         B, H = hs_prev.shape[2], hs_prev.shape[3]
-        P = w_p.shape[2]
 
-        def read(buf, r, t, d):
-            return jax.lax.dynamic_slice(
-                buf, (r, t, 0, 0), (1, 1, B, d)).reshape(B, d)
-
-        def bstep(carry, t):
-            new = []
-            for r in range(R):
-                inp = (read(hs_prev, r, t, H), read(cs_prev, r, t, H),
-                       read(dys, r, t, P))
-                new.append(_dproj_bwd_step(
-                    w_eff[r], b_eff[r], w_p[r], H,
-                    tuple(c[r] for c in carry), inp))
-            return tuple(tuple(n[i] for n in new) for i in range(6)), None
+        def bstep(r, carry, reads):
+            return _dproj_bwd_step(
+                w_eff[r], b_eff[r], w_p[r], H, carry, reads), ()
 
         zbh = jnp.zeros((B, H), hs_prev.dtype)
-        init = (tuple(zbh for _ in range(R)), tuple(zbh for _ in range(R)),
-                tuple(jnp.zeros(w_eff.shape[1:], w_eff.dtype)
-                      for _ in range(R)),
-                tuple(jnp.zeros(b_eff.shape[1:], b_eff.dtype)
-                      for _ in range(R)),
-                tuple(jnp.zeros(w_p.shape[1:], w_p.dtype)
-                      for _ in range(R)),
-                tuple(jnp.zeros(w_p.shape[2:], w_p.dtype)
-                      for _ in range(R)))
-        (dh1, dc1, dw, db, dwp, dbp), _ = jax.lax.scan(
-            bstep, init, jnp.arange(T), reverse=True, unroll=scan_unroll())
-        out = (jnp.stack(dw), jnp.stack(db), jnp.stack(dwp),
-               jnp.stack(dbp), jnp.stack(dh1), jnp.stack(dc1))
-        return out, (True,) * 6
+        init = tuple(
+            (zbh, zbh, jnp.zeros(w_eff.shape[1:], w_eff.dtype),
+             jnp.zeros(b_eff.shape[1:], b_eff.dtype),
+             jnp.zeros(w_p.shape[1:], w_p.dtype),
+             jnp.zeros(w_p.shape[2:], w_p.dtype))
+            for _ in range(R))
+        carries, _ = replica_scan(
+            bstep, init, (hs_prev, cs_prev, dys), T, reverse=True,
+            unroll=scan_unroll())
+        dh1, dc1, dw, db, dwp, dbp = stack_slots(carries, 6)
+        return (dw, db, dwp, dbp, dh1, dc1), (True,) * 6
 
     return bwd
 
@@ -887,7 +781,7 @@ def _dfs_fwd_cv(w_r, b1c, w_hh, w_p, b_p, x0, h0):
 @_dfs_fwd_cv.def_vmap
 def _dfs_fwd_rule(axis_size, in_batched, *args):
     R = axis_size
-    args = [_bc_rep(x, b, R) for x, b in zip(args, in_batched)]
+    args = bc_args(args, in_batched, R)
     if R > _vmap_unroll_max():   # guard: HLO size scales with R below
         out = jax.vmap(_dfs_fwd)(*args)
         return out, ((True, True, True), (True,) * 6)
@@ -905,7 +799,7 @@ def _dfs_bwd_cv(w_r, b1c, w_hh, w_p, x0, h0, dh1, dc1, dy1):
 @_dfs_bwd_cv.def_vmap
 def _dfs_bwd_rule(axis_size, in_batched, *args):
     R = axis_size
-    args = [_bc_rep(x, b, R) for x, b in zip(args, in_batched)]
+    args = bc_args(args, in_batched, R)
     if R > _vmap_unroll_max():   # guard: HLO size scales with R below
         return jax.vmap(_dfs_bwd_one)(*args), (True,) * 7
     outs = [_dfs_bwd_one(*[a[r] for a in args]) for r in range(R)]

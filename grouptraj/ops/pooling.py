@@ -120,7 +120,10 @@ def _use_pallas_pool(impl: str, S: int, N: int) -> bool:
     if impl == "pallas":
         return True
     if _SPMD_MESH is not None:
-        S = S // _SPMD_MESH[0].devices.size
+        # size of the NAMED data axis, not the whole device count — the
+        # same under the current 1-D mesh, different if a second mesh axis
+        # is ever added (ADVICE round 4)
+        S = S // _SPMD_MESH[0].shape[_SPMD_MESH[1]]
     return (impl == "auto" and jax.default_backend() != "cpu"
             and N <= 128 and S * N * N >= 100_000)
 
@@ -160,7 +163,8 @@ def _pool_fast(params: dict, h: jnp.ndarray, end_pos: jnp.ndarray,
     # UNBATCHED shape — also measured correct there (the XLA path batches
     # linearly; the kernel's replica fold only pays at wide buckets).
     if use_kernel:
-        if _SPMD_MESH is not None and S % _SPMD_MESH[0].devices.size == 0:
+        if (_SPMD_MESH is not None
+                and S % _SPMD_MESH[0].shape[_SPMD_MESH[1]] == 0):
             from grouptraj.ops.pallas_pool import pool_core_pallas_spmd
             pooled = pool_core_pallas_spmd(a, u, W2, b2, valid,
                                            *_SPMD_MESH)
@@ -222,10 +226,10 @@ def _ppre_fwd_cv(p, h, Wu, W1h, cvec):
 
 @_ppre_fwd_cv.def_vmap
 def _ppre_fwd_rule(axis_size, in_batched, *args):
-    from grouptraj.ops.lstm import _bc_rep, _vmap_unroll_max
+    from grouptraj.ops.replica_scan import bc_args, vmap_unroll_max
     R = axis_size
-    args = [_bc_rep(x, b, R) for x, b in zip(args, in_batched)]
-    if R > _vmap_unroll_max():
+    args = bc_args(args, in_batched, R)
+    if R > vmap_unroll_max():
         a, u = jax.vmap(_ppre_one)(*args)
     else:
         outs = [_ppre_one(*[x[r] for x in args]) for r in range(R)]
@@ -241,10 +245,10 @@ def _ppre_bwd_cv(p, h, Wu, W1h, da, du_ct):
 
 @_ppre_bwd_cv.def_vmap
 def _ppre_bwd_rule(axis_size, in_batched, *args):
-    from grouptraj.ops.lstm import _bc_rep, _vmap_unroll_max
+    from grouptraj.ops.replica_scan import bc_args, vmap_unroll_max
     R = axis_size
-    args = [_bc_rep(x, b, R) for x, b in zip(args, in_batched)]
-    if R > _vmap_unroll_max():
+    args = bc_args(args, in_batched, R)
+    if R > vmap_unroll_max():
         return jax.vmap(_ppre_bwd_one)(*args), (True,) * 5
     outs = [_ppre_bwd_one(*[x[r] for x in args]) for r in range(R)]
     return (tuple(jnp.stack([o[i] for o in outs]) for i in range(5)),

@@ -245,9 +245,20 @@ def train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
                 pending.clear()
 
     t = 0
-    if t_restored and num_iterations >= t_restored:
+    if t_restored > num_iterations:
+        # mirrors the partial-sweep/seed-mismatch refusals: running the loop
+        # would retrain restored states from t=0 and append non-monotonic
+        # histories (ADVICE round 4)
+        raise ValueError(
+            f"restored sweep is at t={t_restored} > num_iterations="
+            f"{num_iterations}; raise --num_iterations/--num_epochs (or "
+            f"start fresh) instead of retraining restored states")
+    if t_restored:
         # fast-forward the host-side schedulers to the restore point (both
-        # deterministic in tcfg.seed, mirroring the dispatch loop below)
+        # deterministic in tcfg.seed, mirroring the dispatch loop below).
+        # eval_rng draws one permutation per checkpoint-boundary CROSSING —
+        # exactly like the live loop, where a chunk spanning several
+        # checkpoint_every multiples still fires once (ADVICE round 4).
         while t < t_restored:
             this_chunk = min(chunk, num_iterations - t)
             if stream is None:
@@ -255,9 +266,10 @@ def train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
             else:
                 for _ in range(spi * this_chunk):
                     next(index_iter)
+            t_prev = t
             t += this_chunk
-        for _ in range(t_restored // tcfg.checkpoint_every):
-            eval_rng.permutation(train_loader.dense.num_seq)
+            if t_prev // tcfg.checkpoint_every != t // tcfg.checkpoint_every:
+                eval_rng.permutation(train_loader.dense.num_seq)
     t0 = time.time()
     logged_epoch = (ckpts[seeds[0]]["counters"]["epoch"] or 0) \
         if t_restored else 0

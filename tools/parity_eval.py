@@ -60,7 +60,14 @@ def evaluate_checkpoint(path, num_samples, seed=0):
     dpath = get_dset_path(dset_name, split)
     if not os.path.isdir(dpath):
         # the 'raw' tracker-export dataset ships train/val only
-        # (reference datasets_group/raw/) — evaluate on val and say so
+        # (reference datasets_group/raw/) — evaluate on val and say so.
+        # ONLY for 'raw': any other dataset missing its test split is a
+        # broken data layout, not a known quirk (ADVICE round 4).
+        if dset_name != "raw":
+            raise FileNotFoundError(
+                f"{dset_name}: test split missing at {dpath} — check "
+                f"GROUPTRAJ_DATA_DIR (only the 'raw' tracker export "
+                f"legitimately lacks a test split)")
         split = "val"
         dpath = get_dset_path(dset_name, split)
 
