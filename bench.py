@@ -118,10 +118,24 @@ def bench_grouptraj(iters: int = 200, batch_size: int = 64,
     # (a host readback is the only reliable sync on the axon platform —
     # block_until_ready returns early)
     warm_idx = jnp.zeros((chunk, 2, batch_size), jnp.int32)
+    cost = {"flops": 0.0, "bytes": 0.0}
     for d in (datas if sched is not None else [data]):
         key, sub = split(key)
         state, losses = run(state, d, warm_idx, sub)
+        try:
+            # XLA's static cost model for the compiled dispatch — the
+            # hardware-utilization audit trail (VERDICT r4 item 7). Summed
+            # over bucket widths weighted equally (the scheduler's mix is
+            # near-uniform per epoch); normalized per iteration below.
+            ca = run.lower(state, d, warm_idx, sub).compile().cost_analysis()
+            if ca:
+                cost["flops"] += float(ca.get("flops", 0.0)) / chunk
+                cost["bytes"] += float(ca.get("bytes accessed", 0.0)) / chunk
+        except Exception:
+            pass
     np.asarray(losses["G_total_loss"])
+    n_widths = len(datas) if sched is not None else 1
+    cost = {k: v / max(n_widths, 1) for k, v in cost.items()}
 
     # 3 reps over the SAME dispatch sequence, each with a hard sync: the
     # host<->TPU tunnel adds variable latency between identical runs (same
@@ -146,7 +160,7 @@ def bench_grouptraj(iters: int = 200, batch_size: int = 64,
             state, losses = run(state, d, idx, sub)
         np.asarray(losses["G_total_loss"])      # hard sync
         reps.append(n_chunks * chunk / (time.time() - t0))
-    return sorted(reps)[len(reps) // 2], max(reps)
+    return sorted(reps)[len(reps) // 2], max(reps), cost
 
 
 def bench_serving(num_samples: int = 20, batch_size: int = 64):
@@ -426,7 +440,7 @@ if __name__ == "__main__":
                           "vs_baseline": 1.0}))
     else:
         wait_for_device()
-        ips_med, ips_best = bench_grouptraj(
+        ips_med, ips_best, cost = bench_grouptraj(
             args.iters, impl_override=args.impl, spd=args.spd,
             n_buckets=args.n_buckets)
         tps = bench_serving()
@@ -437,6 +451,18 @@ if __name__ == "__main__":
             "vs_baseline": round(ips_med / REFERENCE_ITERS_PER_SEC, 2),
             "best_rep": round(ips_best, 3),
         }
+        if cost.get("flops"):
+            # hardware-utilization audit (XLA static cost model, averaged
+            # over bucket widths): %-of-v5e peaks at the MEASURED rate, so
+            # "fast" is checkable against the chip, not only the reference
+            # baseline (method note in BASELINE.md). v5e-1: 197 TFLOP/s
+            # bf16 MXU, 819 GB/s HBM.
+            out["flops_per_iter"] = round(cost["flops"])
+            out["hbm_bytes_per_iter"] = round(cost["bytes"])
+            out["pct_v5e_mxu"] = round(
+                100 * cost["flops"] * ips_med / 197e12, 2)
+            out["pct_v5e_hbm"] = round(
+                100 * cost["bytes"] * ips_med / 819e9, 2)
         if tps is not None:
             # BASELINE.json's second metric: best-of-20 sampling throughput;
             # each (valid pedestrian, sample) is one predicted trajectory
@@ -447,7 +473,7 @@ if __name__ == "__main__":
                 # the vmapped multi-seed trainer: N replicas advance per
                 # dispatch on one chip — seed-iters/s is the useful-work
                 # headline for the zoo's seed sweeps (train/multi.py)
-                ms_med, ms_best = bench_grouptraj(
+                ms_med, ms_best, _ = bench_grouptraj(
                     args.iters, impl_override=args.impl, spd=args.spd,
                     n_buckets=args.n_buckets, n_seeds=args.n_seeds)
                 out[f"multiseed{args.n_seeds}_seed_iters_per_sec"] = round(

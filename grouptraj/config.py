@@ -171,6 +171,17 @@ class TrainConfig:
     # path when the equivalence conditions don't hold (dropout on,
     # per-step re-pooling, best_k == 1, or no variety loss).
     sparse_best_k: bool = True
+    # grouptraj extension (perf): run the training step's NO-GRADIENT
+    # generator forwards in bfloat16 — the g-step's best-of-k probe decode
+    # (stop_gradient'd by sparse_best_k; the step's largest forward at
+    # k·S·N rows) and the d-step's generator sample. Weights/activations
+    # cast to bf16, noise still DRAWN in f32 (and bit-shared with the f32
+    # re-decode via the user_noises seam), outputs return to f32 at the
+    # valid-mask multiply. Gradients stay exact f32 — the only semantic
+    # effect is which sample the variety argmin picks on near-ties and
+    # bf16-rounded fake trajectories feeding D's loss (training
+    # stochasticity; quality-gated on an N-seed sweep, see BASELINE.md).
+    bf16_nograd: bool = False
 
     output_dir: str = "."
     print_every: int = 100

@@ -232,9 +232,19 @@ def _ppre_fwd_rule(axis_size, in_batched, *args):
     if R > vmap_unroll_max():
         a, u = jax.vmap(_ppre_one)(*args)
     else:
+        # static-offset dynamic_update_slice instead of jnp.stack: XLA
+        # output-fuses each per-replica dot into its slab write (the same
+        # fusion the lstm rules get), where a concatenate lowered to a
+        # separate ~0.4 ms full-slab copy per output at the d-leg's
+        # [8, 128, 64, 512] (round-5 profile, copy.2886/.2887)
         outs = [_ppre_one(*[x[r] for x in args]) for r in range(R)]
-        a = jnp.stack([o[0] for o in outs])
-        u = jnp.stack([o[1] for o in outs])
+        a = jnp.zeros((R,) + outs[0][0].shape, outs[0][0].dtype)
+        u = jnp.zeros((R,) + outs[0][1].shape, outs[0][1].dtype)
+        for r in range(R):
+            a = jax.lax.dynamic_update_slice(
+                a, outs[r][0][None], (r,) + (0,) * outs[r][0].ndim)
+            u = jax.lax.dynamic_update_slice(
+                u, outs[r][1][None], (r,) + (0,) * outs[r][1].ndim)
     return ((a, u), tuple(args[:4])), ((True, True), (True,) * 4)
 
 
@@ -251,8 +261,15 @@ def _ppre_bwd_rule(axis_size, in_batched, *args):
     if R > vmap_unroll_max():
         return jax.vmap(_ppre_bwd_one)(*args), (True,) * 5
     outs = [_ppre_bwd_one(*[x[r] for x in args]) for r in range(R)]
-    return (tuple(jnp.stack([o[i] for o in outs]) for i in range(5)),
-            (True,) * 5)
+
+    def slab(i):   # static-DUS assembly, see the fwd rule
+        buf = jnp.zeros((R,) + outs[0][i].shape, outs[0][i].dtype)
+        for r in range(R):
+            buf = jax.lax.dynamic_update_slice(
+                buf, outs[r][i][None], (r,) + (0,) * outs[r][i].ndim)
+        return buf
+
+    return tuple(slab(i) for i in range(5)), (True,) * 5
 
 
 pool_precompute.defvjp(

@@ -83,6 +83,13 @@ def _batch_arrays(batch) -> Dict[str, jnp.ndarray]:
     )
 
 
+def _bf16(t):
+    """Cast a pytree's f32 leaves to bf16 (the no-grad-leg residency;
+    TrainConfig.bf16_nograd)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t)
+
+
 def _trajs(b, pred_rel_fake):
     """Assemble full real/fake (abs, rel) trajectories [S, N, To+Tp, 2]."""
     pred_abs_fake = relative_to_abs(pred_rel_fake, b["obs"][:, :, -1, :])
@@ -102,9 +109,26 @@ def build_d_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
                key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         b = batch
         k_gen, k_label, k_disc = jax.random.split(key, 3)
-        pred_rel_fake = generator_forward(
-            state.g_params, cfg, b["obs"], b["obs_rel"], b["group"],
-            b["valid"], k_gen, impl=impl)
+        if tcfg.bf16_nograd:
+            # no gradient flows through the generator here — run the decode
+            # leg in bf16 (context stays f32: it feeds the Pallas pool
+            # kernel; the decode is where the rows are). Noise drawn in f32
+            # via the sample_noises seam — bit-identical draw layout to
+            # generator_forward (tested), only the decode precision differs.
+            S, N = b["valid"].shape
+            ctx_d = generator_context(
+                state.g_params, cfg, b["obs"], b["obs_rel"], b["group"],
+                b["valid"], k_gen, impl=impl)
+            z = sample_noises(cfg, k_gen[None], S, N, ctx_d.dtype)
+            pred_rel_fake = generator_sample(
+                _bf16(state.g_params), cfg, _bf16(ctx_d), _bf16(b["obs"]),
+                _bf16(b["obs_rel"]), b["group"], b["valid"], k_gen,
+                user_noise=None if z is None else _bf16(z[0]),
+                impl=impl).astype(jnp.float32)
+        else:
+            pred_rel_fake = generator_forward(
+                state.g_params, cfg, b["obs"], b["obs_rel"], b["group"],
+                b["valid"], k_gen, impl=impl)
         tr, trr, tf, tfr = _trajs(b, pred_rel_fake)
         S = b["valid"].shape[0]
         # real and fake scored in ONE stacked forward: halves the
@@ -187,15 +211,31 @@ def build_g_step(cfg: ModelConfig, tcfg: TrainConfig, impl: str = "scan"
                 ctx = generator_context(
                     g_params, cfg, b["obs"], b["obs_rel"], b["group"],
                     b["valid"], sample_keys[0], impl=impl)
-                preds_all = generator_sample_many(
-                    sg(g_params), cfg, sg(ctx), b["obs"], b["obs_rel"],
-                    b["group"], b["valid"], sample_keys, impl=impl)
+                S, N = b["valid"].shape
+                # draw ALL sample noises once in f32 (bit-identical to the
+                # in-decode draws, tested) so the probe decode — bf16 or
+                # f32 — and the f32 re-decode share the exact same z
+                z_all = sample_noises(cfg, sample_keys, S, N, ctx.dtype)
+                if tcfg.bf16_nograd:
+                    # the probe decode carries no gradient (stop_gradient'd
+                    # inputs); bf16 halves its HBM traffic and doubles MXU
+                    # rate. Only effect: the per-scene argmin may pick a
+                    # different sample on near-ties (TrainConfig docstring).
+                    preds_all = generator_sample_many(
+                        _bf16(sg(g_params)), cfg, _bf16(sg(ctx)),
+                        _bf16(b["obs"]), _bf16(b["obs_rel"]), b["group"],
+                        b["valid"], sample_keys, impl=impl,
+                        user_noises=None if z_all is None
+                        else _bf16(sg(z_all))).astype(jnp.float32)
+                else:
+                    preds_all = generator_sample_many(
+                        sg(g_params), cfg, sg(ctx), b["obs"], b["obs_rel"],
+                        b["group"], b["valid"], sample_keys, impl=impl,
+                        user_noises=None if z_all is None else sg(z_all))
                 per_scene, denom = L.variety_l2_parts(
                     preds_all, b["pred_rel"], pred_loss_mask, b["valid"],
                     tcfg.l2_loss_weight)
                 k_star = jnp.argmin(per_scene, axis=0)            # [S]
-                S, N = b["valid"].shape
-                z_all = sample_noises(cfg, sample_keys, S, N, ctx.dtype)
                 cat2 = lambda a: jnp.concatenate([a, a], axis=0)
                 z2 = None if z_all is None else jnp.concatenate(
                     [z_all[k_star, jnp.arange(S)], z_all[-1]], axis=0)

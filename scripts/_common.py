@@ -101,6 +101,9 @@ def build_parser(gcn_variant: bool = False) -> argparse.ArgumentParser:
     # grouptraj extension: sparse best-of-k backward (1 = on; gradients
     # equal the dense path except on exact ties — TrainConfig.sparse_best_k)
     p.add_argument("--sparse_best_k", default=1, type=int)
+    # grouptraj extension (perf): bf16 no-gradient generator forwards in the
+    # training step (probe decode + d-step sample; TrainConfig.bf16_nograd)
+    p.add_argument("--bf16_nograd", default=0, type=int)
     # Output
     p.add_argument("--output_dir", default=os.getcwd())
     p.add_argument("--print_every", default=100, type=int)
@@ -193,6 +196,7 @@ def configs_from_args(args, gcn_variant: bool = False):
         l2_loss_weight=args.l2_loss_weight, best_k=args.best_k,
         g_ema_decay=args.g_ema_decay,
         sparse_best_k=bool(args.sparse_best_k),
+        bf16_nograd=bool(args.bf16_nograd),
         output_dir=args.output_dir, print_every=args.print_every,
         checkpoint_every=args.checkpoint_every,
         checkpoint_name=args.checkpoint_name,

@@ -44,7 +44,8 @@ def build_dispatch(args):
 
     cfg = ModelConfig()
     tcfg = TrainConfig(dataset_name="zara1", batch_size=args.batch,
-                       d_steps=args.d_steps, g_steps=args.g_steps)
+                       d_steps=args.d_steps, g_steps=args.g_steps,
+                       bf16_nograd=bool(getattr(args, "bf16", 0)))
     train_dset, train_loader, _ = build_loaders(cfg, tcfg)
     buckets = make_buckets(train_dset, 3, args.batch)
     w, bidx = buckets[min(args.bucket, len(buckets) - 1)]
@@ -154,6 +155,8 @@ def main():
                     help="profile the train_many vmapped chunk with this "
                          "many seed replicas (leg=full only)")
     ap.add_argument("--top", type=int, default=35)
+    ap.add_argument("--bf16", type=int, default=0,
+                    help="TrainConfig.bf16_nograd for the profiled step")
     args = ap.parse_args()
 
     import jax
