@@ -460,40 +460,68 @@ pool_core_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 @functools.lru_cache(maxsize=None)
 def _pool_core_spmd(mesh, axis: str):
-    def fwd_body(a, u, W2, b2, valid):
-        out, pooled, cnt = _core_fwd(a[None], u[None], W2[None], b2[None],
-                                     valid[None])
-        return out[0], pooled[0], cnt[0]
-
+    # Replica-STACKED shard_map bodies: args carry a leading replica axis
+    # (R = 1 for plain DP training) that stays unsharded while the scene
+    # axis (dim 1) shards over mesh[axis]. This is what lets the multi-seed
+    # trainer's seed vmap compose with data parallelism: the custom_vmap
+    # rules below fold the seed axis into the kernel's native replica axis
+    # INSTEAD of vmapping the shard_map (pallas_call auto-batching emits
+    # illegal Mosaic blocks). Same composition order as pool_core_pallas:
+    # custom_vjp outside, custom_vmap inside, shard_map innermost.
     fwd_sm = jax.shard_map(
-        fwd_body, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P(), P(axis)),
-        out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
+        _core_fwd, mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(), P(), P(None, axis)),
+        out_specs=(P(None, axis), P(None, axis), P(None, axis)),
+        check_vma=False)
 
     def bwd_body(a, u, W2, b2, valid, pooled, cnt, dpool):
-        da, du, dW2, db2 = (x[0] for x in _core_bwd(
-            a[None], u[None], W2[None], b2[None], valid[None],
-            pooled[None], cnt[None], dpool[None]))
+        da, du, dW2, db2 = _core_bwd(a, u, W2, b2, valid, pooled, cnt,
+                                     dpool)
         # weight grads: per-shard partial sums -> one psum over the mesh
         return da, du, jax.lax.psum(dW2, axis), jax.lax.psum(db2, axis)
 
     bwd_sm = jax.shard_map(
         bwd_body, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P(), P(axis), P(axis), P(axis),
-                  P(axis)),
-        out_specs=(P(axis), P(axis), P(), P()), check_vma=False)
+        in_specs=(P(None, axis), P(None, axis), P(), P(), P(None, axis),
+                  P(None, axis), P(None, axis), P(None, axis)),
+        out_specs=(P(None, axis), P(None, axis), P(), P()), check_vma=False)
+
+    @jax.custom_batching.custom_vmap
+    def fwd_cv(a, u, W2, b2, valid):
+        out, pooled, cnt = fwd_sm(a[None], u[None], W2[None], b2[None],
+                                  valid[None])
+        return out[0], pooled[0], cnt[0]
+
+    @fwd_cv.def_vmap
+    def _fwd_rule(axis_size, in_batched, a, u, W2, b2, valid):
+        ab, ub, wb, bb, vb = in_batched
+        out = fwd_sm(_bc(a, ab, axis_size), _bc(u, ub, axis_size),
+                     _bc(W2, wb, axis_size), _bc(b2, bb, axis_size),
+                     _bc(valid, vb, axis_size))
+        return out, (True, True, True)
+
+    @jax.custom_batching.custom_vmap
+    def bwd_cv(a, u, W2, b2, valid, pooled, cnt, dpool):
+        r = bwd_sm(a[None], u[None], W2[None], b2[None], valid[None],
+                   pooled[None], cnt[None], dpool[None])
+        return tuple(x[0] for x in r)
+
+    @bwd_cv.def_vmap
+    def _bwd_rule(axis_size, in_batched, *args):
+        args = [_bc(x, b, axis_size) for x, b in zip(args, in_batched)]
+        return bwd_sm(*args), (True, True, True, True)
 
     @jax.custom_vjp
     def f(a, u, W2, b2, valid):
-        return fwd_sm(a, u, W2, b2, valid)[0]
+        return fwd_cv(a, u, W2, b2, valid)[0]
 
     def f_fwd(a, u, W2, b2, valid):
-        out, pooled, cnt = fwd_sm(a, u, W2, b2, valid)
+        out, pooled, cnt = fwd_cv(a, u, W2, b2, valid)
         return out, (a, u, W2, b2, valid, pooled, cnt)
 
     def f_bwd(res, dpool):
         a, u, W2, b2, valid, pooled, cnt = res
-        da, du, dW2, db2 = bwd_sm(a, u, W2, b2, valid, pooled, cnt, dpool)
+        da, du, dW2, db2 = bwd_cv(a, u, W2, b2, valid, pooled, cnt, dpool)
         return da, du, dW2, db2, None
 
     f.defvjp(f_fwd, f_bwd)

@@ -190,3 +190,51 @@ def dryrun_multichip(n_devices: int) -> None:
     finally:
         set_spmd_mesh(None)
         os.environ.pop("GROUPTRAJ_PALLAS_INTERPRET", None)
+
+    # ---- stage 4: seed-vmap x data-parallel composition (round 5) — the
+    # multi-seed trainer's vmapped chunk with the scene axis sharded AND the
+    # shard_map'd Pallas pool under the seed vmap (train_many
+    # num_devices > 1; ops/pallas_pool._pool_core_spmd custom_vmap rules).
+    # Loss parity per seed vs the identical single-device vmapped run.
+    from grouptraj.train.steps import build_train_chunk
+
+    os.environ["GROUPTRAJ_PALLAS_INTERPRET"] = "1"
+    try:
+        n_seeds = 2
+        init_keys = jnp.stack([jax.random.PRNGKey(s) for s in (11, 12)])
+        states0 = jax.jit(jax.vmap(
+            lambda k: init_train_state(k, cfg_k, tcfg)))(init_keys)
+        run_ms = {}
+        for tag in ("single", "mesh"):
+            set_spmd_mesh(mesh if tag == "mesh" else None)
+            runner = jax.jit(jax.vmap(
+                build_train_chunk(cfg_k, tcfg, "scan", chunk),
+                in_axes=(0, None, None, 0)))
+            rng = np.random.default_rng(0)
+            st = (jax.device_put(states0, replicated_sharding(mesh))
+                  if tag == "mesh" else states0)
+            keys2 = jax.vmap(jax.random.fold_in, (0, None))(init_keys, 3)
+            losses_all = []
+            for width, num_seq in ((8, 12), (16, 6)):
+                data = synthetic_device_data(
+                    num_seq, width, cfg.obs_len, cfg.pred_len, seed=width,
+                    sharding=(replicated_sharding(mesh) if tag == "mesh"
+                              else None))
+                idx = rng.integers(
+                    0, num_seq,
+                    (chunk, spi, tcfg.batch_size)).astype(np.int32)
+                st, losses = runner(
+                    st, data,
+                    (jax.device_put(idx, idx_shard) if tag == "mesh"
+                     else jnp.asarray(idx)), keys2)
+                losses_all.append(jax.device_get(losses))
+            run_ms[tag] = losses_all
+        for la, lb in zip(run_ms["single"], run_ms["mesh"]):
+            for name in la:
+                a, b = np.asarray(la[name]), np.asarray(lb[name])
+                assert np.isfinite(a).all() and np.isfinite(b).all(), name
+                assert np.allclose(a, b, atol=2e-3), (
+                    f"multi-seed sharded chunk diverged: {name} {a} vs {b}")
+    finally:
+        set_spmd_mesh(None)
+        os.environ.pop("GROUPTRAJ_PALLAS_INTERPRET", None)

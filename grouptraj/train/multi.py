@@ -103,13 +103,60 @@ def _load_sweep_checkpoints(restore_dir: str, seeds: List[int],
 def train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
                args_snapshot: Optional[dict] = None) -> Dict[int, dict]:
     """Train one replica per seed simultaneously; returns {seed: ckpt}."""
+    try:
+        return _train_many(cfg, tcfg, seeds, args_snapshot)
+    finally:
+        # clear the pool kernel's data-parallel mesh (installed below when
+        # num_devices > 1) so later single-device work in this process
+        # retraces the unsharded kernel — same discipline as train()
+        from grouptraj.ops.pooling import set_spmd_mesh
+        set_spmd_mesh(None)
+
+
+def _train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
+                args_snapshot: Optional[dict] = None) -> Dict[int, dict]:
     from grouptraj.ops.lstm import select_impl
 
     if len(set(seeds)) != len(seeds):
         raise ValueError(f"duplicate seeds: {seeds}")
-    if tcfg.num_devices > 1:
-        raise ValueError("train_many is single-device (the seed axis is the "
-                         "parallel axis); use --num_devices 1")
+
+    # ---- seed-vmap x data-parallel composition (round 5): the seed axis
+    # vmaps OUTSIDE (replica-unrolled custom_vmap rules), the scene axis
+    # shards INSIDE over a 1-D mesh exactly as train() shards it — states
+    # and the device-resident dataset replicate, the dispatch's scene-index
+    # arrays shard, GSPMD inserts the gradient all-reduce per replica. The
+    # Pallas pool kernel keeps working through pool_core_pallas_spmd, whose
+    # custom_vmap rules fold the seed axis into the kernel's native replica
+    # axis inside the shard_map (ops/pallas_pool.py). Validated like dryrun
+    # stages 2-3: CPU-mesh loss parity of a multi-seed sharded sweep vs the
+    # single-device run (tests/test_parallel.py).
+    n_dev = tcfg.num_devices if tcfg.num_devices > 0 else len(jax.devices())
+    mesh = None
+    idx_shard = None
+    idx_shard_2d = None
+    data_sharding = None
+    if n_dev > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from grouptraj.parallel.mesh import (
+            DATA_AXIS, make_mesh, replicated_sharding,
+        )
+        if len(jax.devices()) < n_dev:
+            raise ValueError(
+                f"num_devices={n_dev} but only {len(jax.devices())} visible")
+        if tcfg.batch_size % n_dev:
+            raise ValueError(
+                f"batch_size={tcfg.batch_size} must divide "
+                f"num_devices={n_dev}")
+        mesh = make_mesh(n_dev)
+        idx_shard = NamedSharding(mesh, P(None, None, DATA_AXIS))
+        idx_shard_2d = NamedSharding(mesh, P(None, DATA_AXIS))
+        data_sharding = replicated_sharding(mesh)
+        from grouptraj.ops.pooling import set_spmd_mesh
+        set_spmd_mesh(mesh, DATA_AXIS)
+        logger.info("Multi-seed data-parallel over %d devices (%s)", n_dev,
+                    mesh.devices[0].platform)
+
     impl = select_impl(cfg, tcfg)
     if impl != "scan":
         # same reason as the pool guard below: Mosaic pallas_calls
@@ -140,6 +187,8 @@ def train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
     key_vec, init_keys = _split_keys(key_vec)
     states = jax.jit(jax.vmap(
         lambda k: init_train_state(k, cfg, tcfg)))(init_keys)
+    if mesh is not None:
+        states = jax.device_put(states, data_sharding)
 
     import dataclasses
     if args_snapshot is None:
@@ -178,9 +227,11 @@ def train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
                         n_seeds, restore_dir, t_restored)
             per_states = [ckpt_lib.state_from_checkpoint(ck, cfg, tcfg)
                           for ck in cks]
-            states = jax.device_put(jax.tree_util.tree_map(
+            stacked = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
-                *per_states))
+                *per_states)
+            states = (jax.device_put(stacked, data_sharding)
+                      if mesh is not None else jax.device_put(stacked))
             if all(ck.get("rng_key_vec") is not None for ck in cks):
                 key_vec = jnp.asarray(
                     np.stack([np.asarray(ck["rng_key_vec"]) for ck in cks]))
@@ -195,13 +246,19 @@ def train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
     # metric sweeps, vmapped over (state, key); data/idx broadcast
     vsweep = jax.jit(jax.vmap(build_check_accuracy_sweep(cfg, impl),
                               in_axes=(0, None, None, 0)))
-    val_data = device_dataset(val_loader.dense, cfg.obs_len)
-    train_eval_data = device_dataset(train_loader.dense, cfg.obs_len)
+    val_data = device_dataset(val_loader.dense, cfg.obs_len,
+                              sharding=data_sharding)
+    train_eval_data = device_dataset(train_loader.dense, cfg.obs_len,
+                                     sharding=data_sharding)
     val_idx_host = _sweep_indices(val_loader.dense.num_seq, tcfg.batch_size)
     eval_rng, nb_limit = make_train_eval_subset(tcfg, train_loader.dense)
 
+    def put_idx2(idx_host):
+        return (jax.device_put(jnp.asarray(idx_host), idx_shard_2d)
+                if mesh is not None else jnp.asarray(idx_host))
+
     def run_sweeps(data, idx_host, keys, n_batches, pred_len):
-        sums = jax.device_get(vsweep(states, data, jnp.asarray(idx_host),
+        sums = jax.device_get(vsweep(states, data, put_idx2(idx_host),
                                      keys))
         return [summarize_check_accuracy(
             {k: float(v[i]) for k, v in sums.items()}, n_batches, pred_len)
@@ -210,7 +267,8 @@ def train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
     # one shared batch schedule (see module docstring); buckets as in train()
     spi = tcfg.d_steps + tcfg.g_steps
     chunk = max(1, tcfg.steps_per_dispatch)
-    src = make_dispatch_source(cfg, tcfg, train_dset, train_loader)
+    src = make_dispatch_source(cfg, tcfg, train_dset, train_loader,
+                               data_sharding=data_sharding)
     tcfg = src.tcfg
     sched, datas = src.sched, src.datas
     stream, index_iter, data = src.stream, src.index_iter, src.data
@@ -290,8 +348,9 @@ def train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
             logger.info("Starting epoch %d", logged_epoch)
 
         key_vec, subs = _split_keys(key_vec)
-        states, losses = get_runner(this_chunk)(states, data,
-                                                jnp.asarray(idx), subs)
+        idx_dev = (jax.device_put(jnp.asarray(idx), idx_shard)
+                   if mesh is not None else jnp.asarray(idx))
+        states, losses = get_runner(this_chunk)(states, data, idx_dev, subs)
         if "norm_d" in losses:
             pending_norm_d.append(losses["norm_d"])  # [n_seeds, chunk]
         if "norm_g" in losses:

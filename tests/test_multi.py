@@ -117,10 +117,10 @@ def test_train_many_e2e(data_root, tmp_path):
 
 def test_train_many_rejects_bad_configs(data_root, tmp_path):
     cfg = ModelConfig()
-    tcfg = TrainConfig(dataset_name="toy", batch_size=4, num_iterations=2,
+    tcfg = TrainConfig(dataset_name="toy", batch_size=5, num_iterations=2,
                        num_epochs=0, output_dir=str(tmp_path / "x"),
                        num_devices=2)
-    with pytest.raises(ValueError, match="single-device"):
+    with pytest.raises(ValueError, match="divide"):
         train_many(cfg, tcfg, [1, 2])
     tcfg2 = TrainConfig(dataset_name="toy", batch_size=4, num_iterations=2,
                         num_epochs=0, output_dir=str(tmp_path / "y"),

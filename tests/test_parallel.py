@@ -155,3 +155,63 @@ def test_uneven_shard_raises():
     batch = synthetic_batch(6, 4)   # 6 scenes not divisible by 8
     with pytest.raises(Exception):
         jax.block_until_ready(shard_arrays(batch, mesh))
+
+
+def test_train_many_data_parallel_matches_single_device(tmp_path,
+                                                        monkeypatch):
+    """Seed-vmap x data-parallel composition (round 5): a 2-seed sweep with
+    the scene axis sharded over 4 mesh devices produces the same per-seed
+    losses and final params as the single-device sweep — and the Pallas
+    pool kernel stays on its shard_map'd SPMD path under the seed vmap
+    (interpret mode; pool_core_pallas_spmd custom_vmap rules)."""
+    import os
+
+    from grouptraj.train.multi import train_many
+
+    rng = np.random.default_rng(7)
+    for split, nframes in (("train", 60), ("val", 25)):
+        d = tmp_path / "toy" / split
+        d.mkdir(parents=True)
+        rows = []
+        for t in range(nframes):
+            for p in (1, 2, 3, 4, 5):
+                x = 0.1 * t + p + 0.01 * rng.standard_normal()
+                rows.append(f"{t*10.0}\t{p}.0\t{x:.4f}\t{0.05*t-p:.4f}"
+                            f"\t{p % 2}.0")
+        (d / "toy.txt").write_text("\n".join(rows) + "\n")
+    monkeypatch.setenv("GROUPTRAJ_DATA_DIR", str(tmp_path))
+
+    def run(num_devices, out, pool_impl="auto"):
+        cfg = ModelConfig(pool_impl=pool_impl)
+        tcfg = TrainConfig(dataset_name="toy", batch_size=8, num_epochs=0,
+                           num_iterations=4, checkpoint_every=3,
+                           print_every=2, best_k=2, seed=3,
+                           output_dir=str(tmp_path / out),
+                           num_devices=num_devices, steps_per_dispatch=2,
+                           restore_from_checkpoint=False)
+        return train_many(cfg, tcfg, [11, 12])
+
+    c1 = run(1, "dp1")
+    c4 = run(4, "dp4")
+    for s in (11, 12):
+        for k in c1[s]["G_losses"]:
+            np.testing.assert_allclose(c1[s]["G_losses"][k],
+                                       c4[s]["G_losses"][k], atol=2e-3)
+        for name in c1[s]["g_state"]:
+            np.testing.assert_allclose(c1[s]["g_state"][name],
+                                       c4[s]["g_state"][name], atol=1e-3)
+        assert np.isclose(c1[s]["metrics_val"]["ade"][-1],
+                          c4[s]["metrics_val"]["ade"][-1], atol=1e-3)
+
+    # the SPMD Pallas pool under the seed vmap (interpret mode on the CPU
+    # mesh) agrees with the same kernel unsharded
+    monkeypatch.setenv("GROUPTRAJ_PALLAS_INTERPRET", "1")
+    try:
+        k1 = run(1, "kp1", pool_impl="pallas")
+        k4 = run(4, "kp4", pool_impl="pallas")
+    finally:
+        monkeypatch.delenv("GROUPTRAJ_PALLAS_INTERPRET")
+    for s in (11, 12):
+        for k in k1[s]["G_losses"]:
+            np.testing.assert_allclose(k1[s]["G_losses"][k],
+                                       k4[s]["G_losses"][k], atol=2e-3)
