@@ -181,7 +181,12 @@ class TrainConfig:
     # effect is which sample the variety argmin picks on near-ties and
     # bf16-rounded fake trajectories feeding D's loss (training
     # stochasticity; quality-gated on an N-seed sweep, see BASELINE.md).
-    bf16_nograd: bool = False
+    # Default ON since round 5: a 12-seed-per-arm zara1 EMA gate measured
+    # d(ADE) = +0.0024 ± 0.0035, d(FDE) = +0.0045 ± 0.0073 vs f32 —
+    # statistically zero, best seed overall was a bf16 seed — for a
+    # measured ~4% step-time win (BASELINE.md round 5). --bf16_nograd 0
+    # restores exact-f32 training.
+    bf16_nograd: bool = True
 
     output_dir: str = "."
     print_every: int = 100

@@ -34,11 +34,14 @@ class Predictor:
                  param_dtype="bfloat16"):
         """``param_dtype``: weights are held on device in this dtype
         (default bf16 — halves weight HBM reads on the weight-bandwidth-
-        bound sampler for a measured 1.45x throughput; quality-gated on
-        the zara1 flagship at Bo20 ADE/FDE 0.3312/0.6439 vs f32
-        0.3312/0.6444, tools/serve_bf16_probe.py). Inputs/positions stay
-        f32 — coordinates at bf16 would cost cm-level error. Pass
-        ``param_dtype=None`` (or "float32") for exact-f32 serving."""
+        bound sampler for a measured 1.45x throughput). Zoo-validated:
+        all 15 shipped checkpoints plus one reference import per model
+        era pass |dADE| <= 0.005 / |dFDE| <= 0.01 at Bo20 vs f32
+        (tools/serve_bf16_zoo.py; table in MODEL_ZOO.md — largest
+        deviation +0.0031 FDE on the wide-coordinate eth import).
+        Inputs/positions stay f32 — coordinates at bf16 would cost
+        cm-level error. Pass ``param_dtype=None`` (or "float32") for
+        exact-f32 serving."""
         if param_dtype is not None:
             d = jnp.dtype(param_dtype)
             params = jax.tree_util.tree_map(

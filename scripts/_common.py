@@ -103,7 +103,7 @@ def build_parser(gcn_variant: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--sparse_best_k", default=1, type=int)
     # grouptraj extension (perf): bf16 no-gradient generator forwards in the
     # training step (probe decode + d-step sample; TrainConfig.bf16_nograd)
-    p.add_argument("--bf16_nograd", default=0, type=int)
+    p.add_argument("--bf16_nograd", default=1, type=int)
     # Output
     p.add_argument("--output_dir", default=os.getcwd())
     p.add_argument("--print_every", default=100, type=int)

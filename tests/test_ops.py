@@ -604,3 +604,59 @@ class TestRecurrenceCustomVmap:
                 np.testing.assert_allclose(
                     np.asarray(gv[i][r]), np.asarray(gp[i]),
                     rtol=2e-4, atol=1e-5)
+
+
+class TestReplicaScan:
+    """Direct contract tests of ops/replica_scan.replica_scan — the shared
+    buffer-IO-fused scaffolding all custom_vmap replica rules route through
+    (round 5). The rules' numerics are pinned end-to-end by
+    TestRecurrenceCustomVmap; this pins the helper itself."""
+
+    def test_matches_naive_loop(self):
+        from grouptraj.ops.replica_scan import replica_scan, stack_slots
+        R, T, B, D = 3, 5, 2, 4
+        rng = np.random.default_rng(0)
+        xs = jnp.asarray(rng.standard_normal((R, T, B, D)), jnp.float32)
+        ws = [jnp.asarray(rng.standard_normal((D, D)), jnp.float32)
+              for _ in range(R)]
+
+        def step(r, c, reads):
+            (x,) = reads
+            c2 = jnp.tanh(c + x @ ws[r])
+            return c2, (c2, c2.sum(-1))
+
+        init = tuple(jnp.zeros((B, D)) for _ in range(R))
+        fin, (ebuf, sbuf) = replica_scan(step, init, (xs,), T)
+        assert ebuf.shape == (R, T, B, D) and sbuf.shape == (R, T, B)
+        # naive per-replica python loop
+        for r in range(R):
+            c = np.zeros((B, D), np.float32)
+            for t in range(T):
+                c = np.tanh(c + np.asarray(xs[r, t]) @ np.asarray(ws[r]))
+                np.testing.assert_allclose(np.asarray(ebuf[r, t]), c,
+                                           rtol=1e-6, atol=1e-6)
+                np.testing.assert_allclose(np.asarray(sbuf[r, t]), c.sum(-1),
+                                           rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(fin[r]), c,
+                                       rtol=1e-6, atol=1e-6)
+        st = stack_slots(tuple((f,) for f in fin), 1)
+        assert st[0].shape == (R, B, D)
+
+    def test_reverse_emissions_land_at_own_t(self):
+        from grouptraj.ops.replica_scan import replica_scan
+        R, T = 2, 4
+        xs = jnp.arange(R * T, dtype=jnp.float32).reshape(R, T, 1)
+
+        def step(r, c, reads):
+            (x,) = reads
+            c2 = c + x
+            return c2, (c2,)
+
+        fin, (ebuf,) = replica_scan(
+            step, tuple(jnp.zeros((1,)) for _ in range(R)), (xs,), T,
+            reverse=True)
+        # reverse suffix-sums: emission at t is sum of xs[t:]
+        want = np.cumsum(np.asarray(xs)[:, ::-1], axis=1)[:, ::-1]
+        np.testing.assert_allclose(np.asarray(ebuf), want)
+        np.testing.assert_allclose(np.asarray(fin[0]),
+                                   np.asarray(xs[0]).sum(0))

@@ -220,3 +220,46 @@ def test_evaluate_bucketed_matches_global(tmp_path):
                                key=jax.random.PRNGKey(0))
     assert np.isclose(a1, a2, rtol=2e-3), (a1, a2)
     assert np.isclose(f1, f2, rtol=2e-3), (f1, f2)
+
+
+def test_bf16_nograd_g_step_matches_f32_when_argmin_agrees(state):
+    """--bf16_nograd runs the no-gradient best-of-k PROBE decode in bf16,
+    but the reported variety loss and the whole generator update come from
+    the f32 re-decode of the argmin sample (train/steps.py loss_fn). So as
+    long as the per-scene argmin picks agree (ties at bf16 resolution are
+    the only divergence channel), the g-step is BIT-EQUAL to the f32 path.
+    """
+    batch = synthetic_batch(6, 8, seed=3)
+    tcfg = dataclasses.replace(TCFG, best_k=5)
+    key = jax.random.PRNGKey(7)
+    st_f, l_f = make_g_step(CFG, tcfg)(state, batch, key)
+    st_b, l_b = make_g_step(
+        CFG, dataclasses.replace(tcfg, bf16_nograd=True))(state, batch, key)
+    np.testing.assert_allclose(float(l_b["G_l2_loss_rel"]),
+                               float(l_f["G_l2_loss_rel"]), rtol=1e-6)
+    np.testing.assert_allclose(float(l_b["G_total_loss"]),
+                               float(l_f["G_total_loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(st_b.g_params),
+                    jax.tree_util.tree_leaves(st_f.g_params)):
+        assert a.dtype == jnp.float32              # residency is per-leg
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_bf16_nograd_d_step_close_to_f32(state, batch):
+    """The d-step's generator sample is bf16 under --bf16_nograd (no grad
+    flows through it); the discriminator update must stay f32 and land
+    within bf16-decode distance of the f32 path (same noise via the
+    sample_noises seam)."""
+    key = jax.random.PRNGKey(11)
+    st_f, l_f = make_d_step(CFG, TCFG)(state, batch, key)
+    st_b, l_b = make_d_step(
+        CFG, dataclasses.replace(TCFG, bf16_nograd=True))(state, batch, key)
+    assert np.isfinite(float(l_b["D_total_loss"]))
+    np.testing.assert_allclose(float(l_b["D_total_loss"]),
+                               float(l_f["D_total_loss"]), rtol=5e-2)
+    for a, b in zip(jax.tree_util.tree_leaves(st_b.d_params),
+                    jax.tree_util.tree_leaves(st_f.d_params)):
+        assert a.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.1, atol=5e-3)
