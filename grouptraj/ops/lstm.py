@@ -304,7 +304,7 @@ def _enc_fwd_rule(axis_size, in_batched, w_comp, b_comp, w_hh, xs):
     R = axis_size
     w_comp, b_comp, w_hh, xs = bc_args(
         (w_comp, b_comp, w_hh, xs), in_batched, R)
-    if R > _vmap_unroll_max():   # guard: HLO size scales with R below
+    if R > _vmap_unroll_max("enc"):   # guard: HLO size scales with R below
         out = jax.vmap(_enc_recurrence_fwd)(w_comp, b_comp, w_hh, xs)
         return out, ((True, True), (True, True, True, True, True, True))
     T, B = xs.shape[1], xs.shape[2]
@@ -338,7 +338,7 @@ def _enc_bwd_rule(axis_size, in_batched, w_comp, b_comp, w_hh, xs, hs_prev,
     (w_comp, b_comp, w_hh, xs, hs_prev, cs_prev, dhT, dcT) = bc_args(
         (w_comp, b_comp, w_hh, xs, hs_prev, cs_prev, dhT, dcT),
         in_batched, R)
-    if R > _vmap_unroll_max():   # guard: HLO size scales with R below
+    if R > _vmap_unroll_max("enc"):   # guard: HLO size scales with R below
         out = jax.vmap(lambda w, b, wh, x, hp, cp, dh, dc:
                        _enc_recurrence_bwd((w, b, wh, x, hp, cp), (dh, dc)))(
             w_comp, b_comp, w_hh, xs, hs_prev, cs_prev, dhT, dcT)
@@ -478,7 +478,7 @@ def _dec_fwd_cv(T: int):
         R = axis_size
         w_eff, b_eff, h1, c1 = bc_args(
             (w_eff, b_eff, h1, c1), in_batched, R)
-        if R > _vmap_unroll_max():   # guard: HLO size scales with R below
+        if R > _vmap_unroll_max("dec"):   # guard: HLO size scales with R below
             out = jax.vmap(lambda w, b, h, c: _dec_recurrence_fwd(
                 w, b, h, c, T))(w_eff, b_eff, h1, c1)
             return out, (True, (True, True, True, True))
@@ -511,7 +511,7 @@ def _dec_bwd_cv(T: int):
         R = axis_size
         w_eff, b_eff, hs_prev, cs_prev, dys = bc_args(
             (w_eff, b_eff, hs_prev, cs_prev, dys), in_batched, R)
-        if R > _vmap_unroll_max():   # guard: HLO size scales with R below
+        if R > _vmap_unroll_max("dec"):   # guard: HLO size scales with R below
             out = jax.vmap(lambda w, b, hp, cp, dy: _dec_recurrence_bwd(
                 T, (w, b, hp, cp), dy))(w_eff, b_eff, hs_prev, cs_prev, dys)
             return out, (True, True, True, True)
@@ -648,7 +648,7 @@ def _dproj_fwd_cv(T: int):
     def _fwd_rule(axis_size, in_batched, w_eff, b_eff, w_p, b_p, h1, c1):
         R = axis_size
         args = bc_args((w_eff, b_eff, w_p, b_p, h1, c1), in_batched, R)
-        if R > _vmap_unroll_max():
+        if R > _vmap_unroll_max("decproj"):
             out = jax.vmap(
                 lambda w, b, wp, bp, h, c: _dproj_fwd(w, b, wp, bp, h, c, T)
             )(*args)
@@ -682,7 +682,7 @@ def _dproj_bwd_cv(T: int):
         R = axis_size
         args = bc_args(
             (w_eff, b_eff, w_p, hs_prev, cs_prev, dys), in_batched, R)
-        if R > _vmap_unroll_max():
+        if R > _vmap_unroll_max("decproj"):
             out = jax.vmap(
                 lambda w, b, wp, hp, cp, dy: _dproj_bwd(
                     T, (w, b, wp, hp, cp), dy))(*args)
@@ -782,7 +782,7 @@ def _dfs_fwd_cv(w_r, b1c, w_hh, w_p, b_p, x0, h0):
 def _dfs_fwd_rule(axis_size, in_batched, *args):
     R = axis_size
     args = bc_args(args, in_batched, R)
-    if R > _vmap_unroll_max():   # guard: HLO size scales with R below
+    if R > _vmap_unroll_max("first"):   # guard: HLO size scales with R below
         out = jax.vmap(_dfs_fwd)(*args)
         return out, ((True, True, True), (True,) * 6)
     outs = [_dfs_fwd(*[a[r] for a in args]) for r in range(R)]
@@ -800,7 +800,7 @@ def _dfs_bwd_cv(w_r, b1c, w_hh, w_p, x0, h0, dh1, dc1, dy1):
 def _dfs_bwd_rule(axis_size, in_batched, *args):
     R = axis_size
     args = bc_args(args, in_batched, R)
-    if R > _vmap_unroll_max():   # guard: HLO size scales with R below
+    if R > _vmap_unroll_max("first"):   # guard: HLO size scales with R below
         return jax.vmap(_dfs_bwd_one)(*args), (True,) * 7
     outs = [_dfs_bwd_one(*[a[r] for a in args]) for r in range(R)]
     return (tuple(jnp.stack([o[i] for o in outs]) for i in range(7)),

@@ -229,7 +229,7 @@ def _ppre_fwd_rule(axis_size, in_batched, *args):
     from grouptraj.ops.replica_scan import bc_args, vmap_unroll_max
     R = axis_size
     args = bc_args(args, in_batched, R)
-    if R > vmap_unroll_max():
+    if R > vmap_unroll_max("ppre"):
         a, u = jax.vmap(_ppre_one)(*args)
     else:
         # static-offset dynamic_update_slice instead of jnp.stack: XLA
@@ -258,7 +258,7 @@ def _ppre_bwd_rule(axis_size, in_batched, *args):
     from grouptraj.ops.replica_scan import bc_args, vmap_unroll_max
     R = axis_size
     args = bc_args(args, in_batched, R)
-    if R > vmap_unroll_max():
+    if R > vmap_unroll_max("ppre"):
         return jax.vmap(_ppre_bwd_one)(*args), (True,) * 5
     outs = [_ppre_bwd_one(*[x[r] for x in args]) for r in range(R)]
 

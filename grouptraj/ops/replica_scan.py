@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 
 
-def vmap_unroll_max() -> int:
+def vmap_unroll_max(family: str | None = None) -> int:
     """Replica-axis size above which the custom_vmap rules fall back to the
     plain batched program instead of unrolling replicas inside the scan.
 
@@ -52,8 +52,29 @@ def vmap_unroll_max() -> int:
     replicas, pathological for e.g. per-sample grads vmapped over a large
     batch. Above the threshold the rules return the reference batched
     program (correct, just XLA's batched-dot layout).
+
+    ``family`` lets a rule family be A/B'd independently:
+    ``GROUPTRAJ_VMAP_UNROLL_MAX_<FAMILY>`` (e.g. ``..._PPRE=16`` forces the
+    pool-precompute rules onto the unrolled path) overrides the global
+    ``GROUPTRAJ_VMAP_UNROLL_MAX`` for that family only. Families: ENC, DEC,
+    DECPROJ, FIRST, PPRE. Numerics agree to float-reassociation level
+    (tests pin the two paths equal at 1e-4); this is a measurement knob
+    for the perf audits.
+
+    DEFAULT IS 1 (= always the batched program) since round 5: with the
+    bf16 no-grad legs and the fused buffer IO in place, re-measuring the
+    round-3 unroll decision showed XLA's plain batched lowering now wins
+    at EVERY bucket and EVERY family on v5e (8-seed widest zara1 bucket
+    43.46 -> 37.81 ms/iter; bucket 0 6.34 -> 3.62; bucket 1 14.02 ->
+    10.89; per-family flips all neutral-or-worse, ARCHITECTURE.md "Round
+    5"). The unrolled machinery stays env-gated because the measurement
+    is config-specific, not because any shipped config still uses it.
     """
-    raw = os.environ.get("GROUPTRAJ_VMAP_UNROLL_MAX", "16")
+    raw = None
+    if family is not None:
+        raw = os.environ.get(f"GROUPTRAJ_VMAP_UNROLL_MAX_{family.upper()}")
+    if raw is None:
+        raw = os.environ.get("GROUPTRAJ_VMAP_UNROLL_MAX", "1")
     try:
         return max(1, int(raw))
     except ValueError:

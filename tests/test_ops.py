@@ -524,6 +524,38 @@ class TestRecurrenceCustomVmap:
         monkeypatch.setenv("GROUPTRAJ_VMAP_UNROLL_MAX", "1")
         self._check(fn, fn, args, 4)
 
+    def test_unrolled_path_matches(self, monkeypatch):
+        """The replica-unrolled rules (the pre-round-5 default, kept
+        env-gated for re-measurement) still produce the batched path's
+        numbers."""
+        from grouptraj.ops.lstm import decoder_recurrence
+        T = self.T
+        args = self._dec_args()
+        fn = lambda w, b, h, c: jnp.sum(
+            jnp.cos(decoder_recurrence(w, b, h, c, T)))
+        monkeypatch.setenv("GROUPTRAJ_VMAP_UNROLL_MAX", "16")
+        self._check(fn, fn, args, 4)
+
+    def test_per_family_fallback_override_matches(self, monkeypatch):
+        """GROUPTRAJ_VMAP_UNROLL_MAX_<FAMILY> flips ONE rule family's path
+        (a measurement knob for the perf audits) without changing numbers;
+        other families keep the global setting."""
+        from grouptraj.ops.lstm import decoder_recurrence
+        T = self.T
+        args = self._dec_args()
+        fn = lambda w, b, h, c: jnp.sum(
+            jnp.cos(decoder_recurrence(w, b, h, c, T)))
+        monkeypatch.setenv("GROUPTRAJ_VMAP_UNROLL_MAX", "16")
+        monkeypatch.setenv("GROUPTRAJ_VMAP_UNROLL_MAX_DEC", "1")
+        self._check(fn, fn, args, 4)
+        # and the precedence: family env first, then the global
+        from grouptraj.ops.replica_scan import vmap_unroll_max
+        assert vmap_unroll_max("dec") == 1
+        assert vmap_unroll_max("enc") == 16
+        assert vmap_unroll_max() == 16
+        monkeypatch.delenv("GROUPTRAJ_VMAP_UNROLL_MAX")
+        assert vmap_unroll_max() == 1  # the round-5 default: batched
+
     def test_decoder_first_step_matches_inline(self):
         """decoder_first_step == the inline gates+projection it replaced
         (models/generator.py _decode_folded step 1), values and grads,

@@ -24,9 +24,10 @@ def main(patterns):
     import argparse
 
     n_seeds = int(os.environ.get("GROUPTRAJ_ATTR_SEEDS", "1"))
+    bf16 = int(os.environ.get("GROUPTRAJ_ATTR_BF16", "1"))
     args = argparse.Namespace(chunk=10, bucket=2, batch=64, d_steps=1,
                               g_steps=1, leg="full", top=35, impl="scan",
-                              n_seeds=n_seeds)
+                              n_seeds=n_seeds, bf16=bf16)
     run, state, data, idx, key = build_dispatch(args)
     import jax
     compiled = jax.jit(run.__wrapped__ if hasattr(run, "__wrapped__")
