@@ -10,7 +10,12 @@ reference checkpoint into a single padded, jitted, pre-compiled entry point:
 
 Scenes pad to fixed bucket sizes so repeated calls hit one compiled
 executable per bucket; batches of scenes amortize further via
-:meth:`predict_batch`.
+:meth:`predict_batch`. Both axes bucket: pedestrians-per-scene to
+``buckets`` and scenes-per-call to ``s_buckets``, so a production caller
+with varying batch sizes compiles one executable per (scene-count,
+scene-width) bucket pair instead of one per distinct batch size —
+serving is dispatch-latency-bound (BASELINE.md serving roofline), and a
+recompile is ~seconds against a ~ms dispatch.
 """
 
 from __future__ import annotations
@@ -31,7 +36,8 @@ from grouptraj.utils import relative_to_abs, round_up
 class Predictor:
     def __init__(self, params, cfg: ModelConfig, num_samples: int = 20,
                  buckets: Sequence[int] = (8, 16, 32, 64), seed: int = 0,
-                 param_dtype="bfloat16"):
+                 param_dtype="bfloat16",
+                 s_buckets: Sequence[int] = (1, 4, 16, 64, 256)):
         """``param_dtype``: weights are held on device in this dtype
         (default bf16 — halves weight HBM reads on the weight-bandwidth-
         bound sampler for a measured 1.45x throughput). Zoo-validated:
@@ -41,7 +47,13 @@ class Predictor:
         deviation +0.0031 FDE on the wide-coordinate eth import).
         Inputs/positions stay f32 — coordinates at bf16 would cost
         cm-level error. Pass ``param_dtype=None`` (or "float32") for
-        exact-f32 serving."""
+        exact-f32 serving.
+
+        ``s_buckets``: scene-count pad targets for :meth:`predict_batch`
+        (above the largest, round up to its multiple). Padding scenes are
+        all-invalid (``valid == 0``) and sliced off before returning;
+        scenes are independent through the whole model (pooling/GAT/GCN
+        act within a scene), so pad scenes cannot perturb real outputs."""
         if param_dtype is not None:
             d = jnp.dtype(param_dtype)
             params = jax.tree_util.tree_map(
@@ -52,6 +64,7 @@ class Predictor:
         self.cfg = cfg
         self.num_samples = num_samples
         self.buckets = sorted(buckets)
+        self.s_buckets = sorted(s_buckets)
         self._key = jax.random.PRNGKey(seed)
         self._compiled = {}
 
@@ -97,6 +110,12 @@ class Predictor:
                 return b
         return round_up(n, self.buckets[-1])
 
+    def _s_bucket(self, s: int) -> int:
+        for b in self.s_buckets:
+            if s <= b:
+                return b
+        return round_up(s, self.s_buckets[-1])
+
     def predict(self, xy: np.ndarray, groups: Optional[np.ndarray] = None,
                 key: Optional[jax.Array] = None) -> np.ndarray:
         """One scene: xy [n, obs_len, 2] absolute positions, groups [n]
@@ -110,7 +129,8 @@ class Predictor:
                       groups: Optional[Sequence[np.ndarray]] = None,
                       key: Optional[jax.Array] = None) -> list:
         To = self.cfg.obs_len
-        S = len(scenes)
+        S_real = len(scenes)
+        S = self._s_bucket(S_real)
         N = self._bucket(max(s.shape[0] for s in scenes))
         obs = np.zeros((S, N, To, 2), np.float32)
         grp = np.zeros((S, N), np.float32)
@@ -134,4 +154,4 @@ class Predictor:
                                jnp.asarray(obs_rel), jnp.asarray(grp),
                                jnp.asarray(valid), key)
         preds = np.asarray(preds)
-        return [preds[:, i, :scenes[i].shape[0]] for i in range(S)]
+        return [preds[:, i, :scenes[i].shape[0]] for i in range(S_real)]

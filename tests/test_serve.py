@@ -47,6 +47,26 @@ def test_bucketing_compiles_once(predictor):
     assert len(predictor._compiled) == n_compiled
 
 
+def test_scene_count_bucketing_compiles_once(predictor):
+    """Varying scenes-per-call within one s_bucket reuses the executable
+    (serving is dispatch-latency-bound; a recompile is ~seconds)."""
+    predictor.predict_batch([_scene(3, 5), _scene(4, 6)])
+    n_compiled = len(predictor._compiled)
+    predictor.predict_batch([_scene(3, 7), _scene(4, 8), _scene(5, 9)])
+    assert len(predictor._compiled) == n_compiled   # same (S=4, N=8) bucket
+
+
+def test_pad_scenes_do_not_perturb(predictor):
+    """All-invalid pad scenes (the s_bucket filler) leave real scenes'
+    outputs bit-identical — scenes are independent through the model."""
+    a, b, c = _scene(3, 10), _scene(4, 11), _scene(5, 12)
+    key = jax.random.PRNGKey(42)
+    two = predictor.predict_batch([a, b], key=key)
+    three = predictor.predict_batch([a, b, c], key=key)  # same S bucket (4)
+    np.testing.assert_array_equal(two[0], three[0])
+    np.testing.assert_array_equal(two[1], three[1])
+
+
 def test_bad_shape_raises(predictor):
     with pytest.raises(ValueError):
         predictor.predict(np.zeros((4, 5, 2), np.float32))
