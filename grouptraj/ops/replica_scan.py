@@ -80,8 +80,9 @@ def vmap_unroll_max(family: str | None = None) -> int:
     except ValueError:
         import warnings
         warnings.warn(
-            f"GROUPTRAJ_VMAP_UNROLL_MAX={raw!r} is not an int; using 16")
-        return 16
+            f"GROUPTRAJ_VMAP_UNROLL_MAX={raw!r} is not an int; using the "
+            "default 1 (batched)")
+        return 1
 
 
 def bc_args(args: Sequence, in_batched: Sequence[bool], axis_size: int):
