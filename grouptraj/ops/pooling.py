@@ -230,7 +230,29 @@ def _ppre_fwd_rule(axis_size, in_batched, *args):
     R = axis_size
     args = bc_args(args, in_batched, R)
     if R > vmap_unroll_max("ppre"):
-        a, u = jax.vmap(_ppre_one)(*args)
+        # Flattened batched dots instead of jax.vmap(_ppre_one): the naive
+        # vmap emits 4-D batched dots ([R,S,N,2]@[R,2,512]) whose TPU
+        # lowering picks a {3,1,2,0} output layout, and the Pallas pool
+        # custom-call consumers need the default layout — XLA bridged the
+        # two with full-slab copies (2 x ~417 us/iter at the d-leg's
+        # [8,128,64,512] f32, copy.1399/.1400, round-5 attribution via
+        # tools/list_copies.py). Collapsing S,N into one M dim leaves the
+        # dot no M-permutation to choose, it emits the default layout, and
+        # the reshapes are bitcasts. Same dot_general contraction and add
+        # order as _ppre_one -> bitwise-identical values (pinned by
+        # tests/test_ops.py::test_ppre_batched_matches_vmap).
+        p, h, Wu, W1h, cvec = args
+        S, N = p.shape[1], p.shape[2]
+        dn = (((2,), (1,)), ((0,), (0,)))
+        pf = p.reshape(R, S * N, p.shape[-1])
+        hf = h.reshape(R, S * N, h.shape[-1])
+        # the adds stay in the flat shape so they output-fuse into the
+        # second dot (reshaping between dot and add re-materialized the
+        # adds as separate ~0.5-0.6 ms full-slab fusions, measured)
+        uf = jax.lax.dot_general(pf, Wu, dn)
+        af = uf + jax.lax.dot_general(hf, W1h, dn) + cvec[:, None]
+        u = uf.reshape(R, S, N, -1)
+        a = af.reshape(R, S, N, -1)
     else:
         # static-offset dynamic_update_slice instead of jnp.stack: XLA
         # output-fuses each per-replica dot into its slab write (the same

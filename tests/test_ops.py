@@ -637,6 +637,27 @@ class TestRecurrenceCustomVmap:
                     np.asarray(gv[i][r]), np.asarray(gp[i]),
                     rtol=2e-4, atol=1e-5)
 
+    def test_ppre_batched_matches_vmap(self):
+        """The batched branch of _ppre_fwd_rule phrases the dots as
+        3-D-flattened batched dot_generals (layout fix, round 5); values
+        must match a plain per-replica loop of _ppre_one exactly — the
+        flattening changes the dot's M-dim shape, not its contraction."""
+        from grouptraj.ops.pooling import pool_precompute, _ppre_one
+        S, N, H, K, R = 4, 6, 16, 32, 5
+        ks = jax.random.split(jax.random.PRNGKey(23), 5)
+        argsR = (jax.random.normal(ks[0], (R, S, N, 2)),
+                 jax.random.normal(ks[1], (R, S, N, H)),
+                 jax.random.normal(ks[2], (R, 2, K)) * 0.4,
+                 jax.random.normal(ks[3], (R, H, K)) * 0.3,
+                 jax.random.normal(ks[4], (R, K)) * 0.1)
+        a_b, u_b = jax.vmap(pool_precompute)(*argsR)   # batched rule (R>1)
+        for r in range(R):
+            a_r, u_r = _ppre_one(*[x[r] for x in argsR])
+            np.testing.assert_allclose(np.asarray(a_b[r]), np.asarray(a_r),
+                                       rtol=1e-6, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(u_b[r]), np.asarray(u_r),
+                                       rtol=1e-6, atol=1e-6)
+
 
 class TestReplicaScan:
     """Direct contract tests of ops/replica_scan.replica_scan — the shared

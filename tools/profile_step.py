@@ -155,8 +155,10 @@ def main():
                     help="profile the train_many vmapped chunk with this "
                          "many seed replicas (leg=full only)")
     ap.add_argument("--top", type=int, default=35)
-    ap.add_argument("--bf16", type=int, default=0,
-                    help="TrainConfig.bf16_nograd for the profiled step")
+    ap.add_argument("--bf16", type=int, default=1,
+                    help="TrainConfig.bf16_nograd for the profiled step "
+                         "(default 1 = the production default since round "
+                         "5; pass 0 to profile the exact-f32 path)")
     args = ap.parse_args()
 
     import jax
