@@ -35,6 +35,7 @@ def main(patterns):
     txt = compiled.as_text()
     print(f"HLO: {len(txt)} chars")
     pats = [re.compile(re.escape(p)) for p in patterns]
+    uses = int(os.environ.get("GROUPTRAJ_ATTR_USES", "0"))
     for line in txt.splitlines():
         s = line.strip()
         # definition lines look like:  %name = type op(...) , metadata={...}
@@ -43,6 +44,13 @@ def main(patterns):
         name = s.split(" ", 1)[0].lstrip("%")
         if any(p.search(name) for p in pats):
             print(s[:600])
+            print()
+        elif uses and any(p.search(s) for p in pats):
+            # GROUPTRAJ_ATTR_USES=1: also print CONSUMER lines (ops whose
+            # operand list mentions a matched name). For layout-residue
+            # work the consumer is what demands the layout — a copy's def
+            # line alone doesn't say who forced it.
+            print("  use:", s[:600])
             print()
 
 
