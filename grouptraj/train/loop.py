@@ -167,7 +167,8 @@ def _train(cfg: ModelConfig, tcfg: TrainConfig,
                 f"num_devices={n_dev} but only {len(jax.devices())} visible")
         if tcfg.batch_size % n_dev:
             raise ValueError(
-                f"batch_size={tcfg.batch_size} must divide num_devices={n_dev}")
+                f"batch_size={tcfg.batch_size} must be divisible by "
+                f"num_devices={n_dev}")
         mesh = make_mesh(n_dev)
         idx_shard = NamedSharding(mesh, P(None, None, DATA_AXIS))
         idx_shard_2d = NamedSharding(mesh, P(None, DATA_AXIS))

@@ -146,7 +146,7 @@ def _train_many(cfg: ModelConfig, tcfg: TrainConfig, seeds: List[int],
                 f"num_devices={n_dev} but only {len(jax.devices())} visible")
         if tcfg.batch_size % n_dev:
             raise ValueError(
-                f"batch_size={tcfg.batch_size} must divide "
+                f"batch_size={tcfg.batch_size} must be divisible by "
                 f"num_devices={n_dev}")
         mesh = make_mesh(n_dev)
         idx_shard = NamedSharding(mesh, P(None, None, DATA_AXIS))
