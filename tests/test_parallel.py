@@ -146,7 +146,7 @@ def test_train_loop_rejects_indivisible_batch(data_root, tmp_path):
     tcfg = TrainConfig(dataset_name="toy", batch_size=6, num_iterations=1,
                        num_epochs=0, num_devices=8,
                        output_dir=str(tmp_path / "bad"))
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="divisible by"):
         train(ModelConfig(), tcfg)
 
 
